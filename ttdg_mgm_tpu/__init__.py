@@ -1,0 +1,32 @@
+"""TTDG-MGM-TPU: a TPU-native JAX framework for test-time domain generalization
+via universe learning and multi-graph matching (CVPR 2025, arXiv 2503.13012).
+
+This is a ground-up JAX/XLA/Pallas re-design of the capabilities of the
+reference PyTorch/Detectron2 implementation (Yore0/TTDG-MGM):
+
+* Mask R-CNN R50-FPN instance segmentation (medical images: fundus OD/OC,
+  polyps), built with static shapes end-to-end so the whole forward +
+  adaptation step compiles to a single XLA program.
+* Supervised universe learning (``U_sup``: Sinkhorn + HiPPI) fused into the
+  source-training step.
+* Test-time adaptation by unsupervised multi-graph matching
+  (``MGM3``: pairwise affinity -> Sinkhorn -> Graduated-Assignment MGM),
+  one optimizer step per test batch, all on device.
+* Data-parallel (and mesh-ready) scaling via ``jax.sharding`` + ``jit``.
+
+Layout mirrors the reference's layer map (SURVEY.md section 1):
+
+==============  =====================================================
+``config``      yacs-style config tree with ``_BASE_`` inheritance
+``data``        dataset registry, COCO parsing, aug, static batching
+``ops``         TPU compute primitives (sinkhorn, LAP, ROIAlign, NMS...)
+``graph``       graph construction + multi-graph-matching solvers
+``models``      Flax Mask R-CNN (backbone/FPN/RPN/ROI heads) + heads
+``engine``      trainers: source, TTA, mean-teacher
+``evaluation``  Dice / E-measure / S-measure, COCO AP
+``solver``      optimizers and LR schedules (optax)
+``parallel``    device mesh + sharding helpers
+==============  =====================================================
+"""
+
+__version__ = "0.1.0"

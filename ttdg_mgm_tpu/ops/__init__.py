@@ -1,0 +1,17 @@
+"""TPU compute primitives.
+
+Every native (C++/CUDA) op the reference leans on through its dependencies
+(SURVEY.md section 2.3) has a static-shape JAX/Pallas equivalent here:
+
+==================  ======================================================
+``sinkhorn``        fused log-domain Sinkhorn (pygmtools semantics)
+``lap``             batched on-device Hungarian (scipy LAP semantics)
+``boxes``           IoU, box encode/decode, anchors (d2 semantics)
+``nms``             fixed-shape batched NMS
+``roi_align``       multi-level ROIAlign, aligned=True half-pixel
+``mask_paste``      28x28 mask -> image-window paste
+==================  ======================================================
+"""
+
+from ttdg_mgm_tpu.ops.sinkhorn import sinkhorn, sinkhorn_auto  # noqa: F401
+from ttdg_mgm_tpu.ops.lap import hungarian, hungarian_scipy  # noqa: F401
