@@ -1,0 +1,174 @@
+"""Multi-graph-matching solvers: HiPPI and Graduated-Assignment (GA-GM).
+
+Capability of reference ``adapteacher/modeling/GModule/multi_graph_matching.py``
+``HiPPI`` (``:392-449``) and ``GA_GM`` (``:191-389``), re-designed TPU-first:
+
+* **Padded-block layout.** The joint matrices over ``G`` graphs with at most
+  ``M`` nodes each are ``(G*M, G*M)`` / ``(G*M, U)`` with each graph's valid
+  nodes compacted to the front of its block; invalid rows/columns are exact
+  zeros, so the power iterations need no masking beyond the projections.
+* **``lax.while_loop`` instead of Python ``while``/``break``.**  The whole
+  solve is one XLA program; convergence is a loop-carried predicate.
+* **No gradients.**  The reference detaches ``W`` on entry (``:225``) and its
+  final Hungarian projection goes through scipy/NumPy, which severs autograd
+  anyway, so both solvers run under ``stop_gradient`` here; gradients flow
+  through the *inputs* of the matching losses (Sinkhorn'd affinities), exactly
+  as in the reference's effective compute graph.
+* **On-device discretization.**  The per-graph Hungarian projections that the
+  reference bounces to CPU scipy (``:327,368,385``) run on device
+  (``ops.lap.hungarian_auto``), eliminating a host round-trip per GA
+  iteration from the hottest TTA loop (SURVEY.md section 3.1).
+
+The spectral-clustering outer loop (MGM-Mixture, reference ``:246-296``) only
+runs for ``num_clusters > 1``; the flagship TTA path calls with the default
+single cluster (reference ``:533``), which is the path implemented as the hot
+jitted program.  A multi-cluster variant is provided for capability parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ttdg_mgm_tpu.ops.lap import hungarian_auto
+from ttdg_mgm_tpu.ops.sinkhorn import sinkhorn_project
+
+
+def _fro(x):
+    return jnp.sqrt(jnp.sum(jnp.square(x)))
+
+
+def _project_blocks(V, ms, n_univ, *, tau, sk_iter, use_hungarian):
+    """Project each graph's (M, U) block of ``V`` (G, M, U) to a
+    doubly-stochastic / permutation matrix over its valid ``ms`` rows."""
+    if use_hungarian:
+        out = hungarian_auto(V, ms, jnp.full_like(ms, n_univ))
+    else:
+        out = sinkhorn_project(V, ms, jnp.full_like(ms, n_univ), tau=tau, max_iter=sk_iter)
+    m = V.shape[-2]
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (V.shape[0], m), 1) < ms[:, None]
+    return jnp.where(row_valid[..., None], out, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_univ", "max_iter", "sk_iter", "sk_tau", "tol")
+)
+def hippi(W, U0, ms, n_univ: int, *, max_iter: int = 50, sk_iter: int = 20,
+          sk_tau: float = 1.0 / 200.0, tol: float = 1e-5):
+    """Higher-order Projected Power Iteration (ICCV'19).
+
+    W: ``(G*M, G*M)`` joint similarity; U0: ``(G*M, U)``; ms: ``(G,)`` valid
+    node counts (each graph's block padded to M rows).  Returns ``(G*M, U)``.
+    Iteration: ``V = (WU) U^T (WU)``, per-graph Sinkhorn projection, until
+    ``||U - U_last|| < tol`` (reference ``multi_graph_matching.py:414-449``).
+    """
+    W = jax.lax.stop_gradient(W).astype(jnp.float32)
+    U0 = jax.lax.stop_gradient(U0).astype(jnp.float32)
+    G = ms.shape[0]
+    T = W.shape[0]
+    M = T // G
+
+    def cond(state):
+        i, U, diff = state
+        return (i < max_iter) & (diff >= tol)
+
+    def body(state):
+        i, U, _ = state
+        WU = W @ U
+        V = WU @ (U.T @ WU)
+        U_new = _project_blocks(
+            V.reshape(G, M, n_univ), ms, n_univ, tau=sk_tau, sk_iter=sk_iter,
+            use_hungarian=False,
+        ).reshape(T, n_univ)
+        return i + 1, U_new, _fro(U_new - U)
+
+    _, U, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), U0, jnp.float32(jnp.inf)))
+    return U
+
+
+def _gagm_round(A, W, U0, ms, n_univ, cluster_weight, *, tau, sk_iter, max_iter,
+                tol, quad_weight, use_hungarian, num_graphs, M):
+    """One projector round of the GA power iteration
+    (reference ``multi_graph_matching.py:300-389`` inner ``for`` loop)."""
+    T = num_graphs * M
+
+    def power_step(U):
+        UUt = U @ U.T
+        V = (A @ ((UUt * cluster_weight) @ A)) @ U * (quad_weight * 2.0) + (
+            W * cluster_weight
+        ) @ U
+        V = V / num_graphs
+        U_new = _project_blocks(
+            V.reshape(num_graphs, M, n_univ), ms, n_univ, tau=tau, sk_iter=sk_iter,
+            use_hungarian=use_hungarian,
+        ).reshape(T, n_univ)
+        if num_graphs == 2:
+            # reference pins graph 0 to identity in the 2-graph case (:358-359)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (M, n_univ), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (M, n_univ), 1)
+            ).astype(U_new.dtype)
+            row_valid = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) < ms[0]
+            U_new = U_new.at[:M].set(jnp.where(row_valid, eye, 0.0))
+        return U_new
+
+    def cond(state):
+        i, U, lastU, lastU2, done = state
+        return (i < max_iter) & (~done)
+
+    def body(state):
+        i, U, lastU, lastU2, _ = state
+        U_new = power_step(U)
+        done = (_fro(U_new - U) < tol) | (_fro(U_new - lastU) == 0.0)
+        return i + 1, U_new, U, lastU, done
+
+    init = (jnp.int32(0), U0, jnp.zeros_like(U0), jnp.zeros_like(U0), jnp.array(False))
+    _, U, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return U
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_univ", "quad_weight", "mgm_iter", "sk_iter", "sk_tau0", "sk_gamma",
+        "min_tau", "tol",
+    ),
+)
+def ga_gm(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
+          mgm_iter: int = 200, sk_iter: int = 20, sk_tau0: float = 0.1,
+          sk_gamma: float = 0.5, min_tau: float = 1e-2, tol: float = 1e-3):
+    """Graduated-Assignment multi-graph matching, single-cluster path.
+
+    A: ``(G*M, G*M)`` block-diagonal intra-graph adjacency; W: ``(G*M, G*M)``
+    joint pairwise doubly-stochastic matrix; U0: ``(G*M, U)`` init; ms: ``(G,)``.
+
+    Control flow mirrors reference ``gagm`` (``:300-389``): rounds of the
+    power iteration with Sinkhorn projection at annealed temperature
+    (tau0, tau0*gamma, ... down to min_tau), then one final round with
+    Hungarian projection.  The tau schedule is static so the rounds unroll
+    into one XLA program with one ``while_loop`` each.
+    """
+    A = jax.lax.stop_gradient(A).astype(jnp.float32)
+    W = jax.lax.stop_gradient(W).astype(jnp.float32)
+    U = jax.lax.stop_gradient(U0).astype(jnp.float32)
+    G = ms.shape[0]
+    M = A.shape[0] // G
+    ones = jnp.ones_like(W)
+
+    taus = []
+    t = sk_tau0
+    while True:
+        taus.append(t)
+        if t > min_tau:
+            t *= sk_gamma
+        else:
+            break
+
+    kw = dict(quad_weight=quad_weight, sk_iter=sk_iter, max_iter=mgm_iter, tol=tol,
+              num_graphs=G, M=M)
+    for tau in taus:
+        U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau, use_hungarian=False, **kw)
+    U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1], use_hungarian=True, **kw)
+    return U

@@ -13,5 +13,10 @@ Every native (C++/CUDA) op the reference leans on through its dependencies
 ==================  ======================================================
 """
 
-from ttdg_mgm_tpu.ops.sinkhorn import sinkhorn, sinkhorn_auto  # noqa: F401
-from ttdg_mgm_tpu.ops.lap import hungarian, hungarian_scipy  # noqa: F401
+from ttdg_mgm_tpu.ops.sinkhorn import (  # noqa: F401
+    sinkhorn,
+    sinkhorn_auto,
+    sinkhorn_masked,
+    sinkhorn_project,
+)
+from ttdg_mgm_tpu.ops.lap import hungarian, hungarian_auto, hungarian_scipy  # noqa: F401

@@ -132,6 +132,29 @@ def hungarian(
     return perm.astype(jnp.float32).reshape(s.shape)
 
 
+def hungarian_auto(
+    s: jnp.ndarray, n1: jnp.ndarray | None = None, n2: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Orientation-robust maximization LAP: instances with ``n1 > n2`` are
+    solved transposed (assigning every *column*), matching scipy's rectangular
+    behavior that the reference relies on (``utils/hungarian.py:63``)."""
+    batch_shape = s.shape[:-2]
+    nr, nc = s.shape[-2], s.shape[-1]
+    if n1 is None:
+        n1 = jnp.full(batch_shape, nr, jnp.int32)
+    if n2 is None:
+        n2 = jnp.full(batch_shape, nc, jnp.int32)
+    n1 = jnp.broadcast_to(jnp.asarray(n1, jnp.int32), batch_shape)
+    n2 = jnp.broadcast_to(jnp.asarray(n2, jnp.int32), batch_shape)
+    n = max(nr, nc)
+    pad = [(0, 0)] * (s.ndim - 2) + [(0, n - nr), (0, n - nc)]
+    sq = jnp.pad(s, pad)
+    fwd = hungarian(sq, n1, n2)
+    bwd = jnp.swapaxes(hungarian(jnp.swapaxes(sq, -1, -2), n2, n1), -1, -2)
+    out = jnp.where((n1 <= n2)[..., None, None], fwd, bwd)
+    return out[..., :nr, :nc]
+
+
 def hungarian_scipy(s, n1=None, n2=None):
     """Host-side exact reference (scipy), for tests and offline tools."""
     import scipy.optimize as opt

@@ -114,6 +114,86 @@ def sinkhorn(
     return out.astype(orig_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("tau", "max_iter"))
+def sinkhorn_masked(
+    s: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray | None = None,
+    *,
+    tau: float = 1.0,
+    max_iter: int = 10,
+) -> jnp.ndarray:
+    """Sinkhorn over an explicit (possibly non-contiguous) validity mask.
+
+    Needed by the universe learner, whose score matrix is a padded-block
+    concatenation of per-graph rows (reference applies one global Sinkhorn to
+    the ragged concatenation at ``multi_graph_matching.py:143``).  No dummy
+    rows: rows and columns are alternately normalized over valid entries only
+    (row pass first), 'invalid' entries come back as exact zeros.
+    """
+    n1, n2 = s.shape[-2], s.shape[-1]
+    orig_dtype = s.dtype
+    if col_mask is None:
+        col_mask = jnp.ones(s.shape[:-2] + (n2,), dtype=bool)
+    live = row_mask[..., :, None] & col_mask[..., None, :]
+    log_s = jnp.where(live, s.astype(jnp.float32) / tau, NEG_INF)
+
+    def body(i, ls):
+        ls = jax.lax.cond(
+            i % 2 == 0,
+            lambda x: x - _masked_logsumexp(x, axis=-1),
+            lambda x: x - _masked_logsumexp(x, axis=-2),
+            ls,
+        )
+        return jnp.where(live, ls, NEG_INF)
+
+    log_s = jax.lax.fori_loop(0, max_iter, body, log_s)
+    return jnp.exp(jnp.where(live, log_s, NEG_INF)).astype(orig_dtype)
+
+
+def sinkhorn_project(
+    s: jnp.ndarray,
+    nrows: jnp.ndarray | None = None,
+    ncols: jnp.ndarray | None = None,
+    *,
+    tau: float = 1.0,
+    max_iter: int = 10,
+) -> jnp.ndarray:
+    """Orientation-robust doubly-stochastic projection on a rectangular
+    physical shape ``(..., N1, N2)``.
+
+    The reference always transposes so valid-rows <= valid-cols before a
+    ``dummy_row`` solve (e.g. ``multi_graph_matching.py:519-522,330-338``).
+    Inside one fixed-shape batch both orientations can occur, so both are
+    solved and selected per instance.  Physical N1 must admit ``ncols`` dummy
+    rows (N1 >= max ncols) whenever some instance has nrows < ncols — callers
+    pad the row axis to ``max(N1, N2)`` if needed; this helper does that
+    automatically.
+    """
+    batch_shape = s.shape[:-2]
+    n1, n2 = s.shape[-2], s.shape[-1]
+    if nrows is None:
+        nrows = jnp.full(batch_shape, n1, dtype=jnp.int32)
+    if ncols is None:
+        ncols = jnp.full(batch_shape, n2, dtype=jnp.int32)
+    nrows = jnp.broadcast_to(jnp.asarray(nrows, jnp.int32), batch_shape)
+    ncols = jnp.broadcast_to(jnp.asarray(ncols, jnp.int32), batch_shape)
+
+    n = max(n1, n2)
+    pad = [(0, 0)] * (s.ndim - 2) + [(0, n - n1), (0, n - n2)]
+    sq = jnp.pad(s, pad)
+    fwd = sinkhorn(sq, nrows, ncols, tau=tau, max_iter=max_iter, dummy_row=True)
+    bwd = jnp.swapaxes(
+        sinkhorn(
+            jnp.swapaxes(sq, -1, -2), ncols, nrows, tau=tau, max_iter=max_iter, dummy_row=True
+        ),
+        -1,
+        -2,
+    )
+    out = jnp.where((nrows <= ncols)[..., None, None], fwd, bwd)
+    return out[..., :n1, :n2]
+
+
 def sinkhorn_auto(
     s: jnp.ndarray,
     nrows: jnp.ndarray | None = None,
