@@ -1,0 +1,191 @@
+"""Tests for detection ops: boxes, NMS, ROIAlign, mask pasting."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ttdg_mgm_tpu.ops.boxes import (
+    cell_anchors,
+    decode_boxes,
+    encode_boxes,
+    grid_anchors,
+    pairwise_iou,
+)
+from ttdg_mgm_tpu.ops.nms import batched_nms_mask, nms_mask, topk_after_nms
+from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from ttdg_mgm_tpu.ops.mask_paste import paste_masks, paste_masks_np
+
+
+def nms_numpy(boxes, scores, thresh):
+    """Plain greedy NMS reference (torchvision semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if sup[j] or j == i:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / (a1 + a2 - inter) if inter > 0 else 0.0
+            if iou > thresh and scores[j] < scores[i]:
+                sup[j] = True
+    return sorted(keep)
+
+
+class TestBoxes:
+    def test_iou_known_values(self):
+        b1 = jnp.array([[0, 0, 10, 10]], jnp.float32)
+        b2 = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+        iou = np.asarray(pairwise_iou(b1, b2))[0]
+        np.testing.assert_allclose(iou, [1.0, 25.0 / 175.0, 0.0], rtol=1e-6)
+
+    def test_encode_decode_roundtrip(self):
+        rng = np.random.RandomState(0)
+        src = rng.rand(20, 4).astype(np.float32) * 100
+        src[:, 2:] = src[:, :2] + 10 + src[:, 2:]
+        tgt = src + rng.randn(20, 4).astype(np.float32) * 3
+        w = (10.0, 10.0, 5.0, 5.0)
+        deltas = encode_boxes(jnp.asarray(src), jnp.asarray(tgt), w)
+        back = decode_boxes(deltas, jnp.asarray(src), w)
+        np.testing.assert_allclose(np.asarray(back), tgt, atol=1e-3)
+
+    def test_cell_anchors_d2_layout(self):
+        c = np.asarray(cell_anchors([32], [0.5, 1.0, 2.0]))
+        assert c.shape == (3, 4)
+        # ratio 0.5: w = sqrt(1024/0.5), h = 0.5*w
+        w = np.sqrt(1024 / 0.5)
+        np.testing.assert_allclose(c[0], [-w / 2, -w / 4, w / 2, w / 4], rtol=1e-6)
+        np.testing.assert_allclose(c[1], [-16, -16, 16, 16], rtol=1e-6)
+
+    def test_grid_anchors(self):
+        c = cell_anchors([32], [1.0])
+        g = np.asarray(grid_anchors(2, 3, 16, c))
+        assert g.shape == (6, 4)
+        np.testing.assert_allclose(g[0], [-16, -16, 16, 16])
+        np.testing.assert_allclose(g[1], [0, -16, 32, 16])  # x shifted by stride
+        np.testing.assert_allclose(g[3], [-16, 0, 16, 32])  # second row
+
+
+class TestNMS:
+    def test_matches_greedy_reference(self):
+        rng = np.random.RandomState(1)
+        K = 60
+        ctr = rng.rand(K, 2) * 50
+        wh = rng.rand(K, 2) * 20 + 5
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+        scores = rng.rand(K).astype(np.float32)
+        keep = np.asarray(
+            nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(K, bool), iou_threshold=0.5)
+        )
+        ref = nms_numpy(boxes, scores, 0.5)
+        assert sorted(np.nonzero(keep)[0].tolist()) == ref
+
+    def test_invalid_never_kept_and_batched_classes(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        valid = jnp.asarray([True, True, False])
+        keep = np.asarray(nms_mask(boxes, scores, valid, iou_threshold=0.5))
+        assert keep.tolist() == [True, False, False]
+        # different classes do not suppress each other
+        cls = jnp.asarray([0, 1, 0])
+        keep2 = np.asarray(batched_nms_mask(boxes, scores, cls, valid, iou_threshold=0.5))
+        assert keep2.tolist() == [True, True, False]
+
+    def test_topk_after_nms(self):
+        boxes = jnp.asarray([[0, 0, 1, 1], [2, 2, 3, 3], [4, 4, 5, 5]], jnp.float32)
+        scores = jnp.asarray([0.1, 0.9, 0.5])
+        keep = jnp.asarray([True, True, False])
+        b, s, idx, v = topk_after_nms(boxes, scores, keep, 2)
+        assert np.asarray(idx).tolist() == [1, 0]
+        assert np.asarray(v).all()
+
+
+def roi_align_numpy(feat, rois, scale, out, ratio):
+    """Direct per-sample loop implementing the documented aligned semantics."""
+    H, W, C = feat.shape
+    K = len(rois)
+    res = np.zeros((K, out, out, C), np.float32)
+    for k, roi in enumerate(rois):
+        x1, y1, x2, y2 = roi * scale - 0.5
+        bw, bh = (x2 - x1) / out, (y2 - y1) / out
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(C, np.float32)
+                for si in range(ratio):
+                    for sj in range(ratio):
+                        y = y1 + (i + (si + 0.5) / ratio) * bh
+                        x = x1 + (j + (sj + 0.5) / ratio) * bw
+                        if y < -1 or y > H or x < -1 or x > W:
+                            continue
+                        y_, x_ = np.clip(y, 0, H - 1), np.clip(x, 0, W - 1)
+                        y0, x0 = int(np.floor(y_)), int(np.floor(x_))
+                        y1b, x1b = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        ly, lx = y_ - y0, x_ - x0
+                        acc += (
+                            feat[y0, x0] * (1 - ly) * (1 - lx)
+                            + feat[y0, x1b] * (1 - ly) * lx
+                            + feat[y1b, x0] * ly * (1 - lx)
+                            + feat[y1b, x1b] * ly * lx
+                        )
+                res[k, i, j] = acc / (ratio * ratio)
+    return res
+
+
+class TestROIAlign:
+    def test_matches_reference_loop(self):
+        rng = np.random.RandomState(2)
+        feat = rng.rand(16, 20, 3).astype(np.float32)
+        rois = np.array(
+            [[4, 4, 40, 36], [0, 0, 80, 64], [10.5, 3.3, 25.7, 50.1]], np.float32
+        )
+        out = np.asarray(
+            roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, output_size=4,
+                      sampling_ratio=2)
+        )
+        ref = roi_align_numpy(feat, rois, 0.25, 4, 2)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_constant_feature_preserved(self):
+        feat = jnp.ones((32, 32, 2)) * 3.0
+        rois = jnp.asarray([[8, 8, 60, 60]], jnp.float32)
+        out = np.asarray(roi_align(feat, rois, 0.25, output_size=7))
+        np.testing.assert_allclose(out, 3.0, rtol=1e-6)
+
+    def test_multilevel_selects_by_area(self):
+        rng = np.random.RandomState(3)
+        feats = [jnp.asarray(rng.rand(64 // (2 ** i), 64 // (2 ** i), 2), jnp.float32)
+                 for i in range(4)]
+        # small roi -> p2 (floor(4+log2(40/224)) = 1 -> clamp 2);
+        # huge roi -> p5 (floor(4+log2(500/224)) = 5)
+        rois = jnp.asarray([[0, 0, 40, 40], [0, 0, 500, 500]], jnp.float32)
+        out = np.asarray(multilevel_roi_align(feats, rois, output_size=7))
+        small = np.asarray(roi_align(feats[0], rois[:1], 1 / 4.0, output_size=7))
+        big = np.asarray(roi_align(feats[3], rois[1:], 1 / 32.0, output_size=7))
+        np.testing.assert_allclose(out[0], small[0], atol=1e-6)
+        np.testing.assert_allclose(out[1], big[0], atol=1e-6)
+
+
+class TestMaskPaste:
+    def test_full_coverage_box(self):
+        mask = jnp.ones((1, 28, 28))
+        boxes = jnp.asarray([[2, 2, 30, 30]], jnp.float32)
+        out = np.asarray(paste_masks(mask, boxes, height=32, width=32))
+        assert out[0, 10, 10] > 0.99
+        assert out[0, 0, 0] == 0.0
+
+    def test_device_matches_numpy(self):
+        rng = np.random.RandomState(4)
+        masks = rng.rand(2, 14, 14).astype(np.float32)
+        boxes = np.array([[3.2, 4.1, 20.5, 18.9], [0, 0, 31, 31]], np.float32)
+        dev = np.asarray(paste_masks(jnp.asarray(masks), jnp.asarray(boxes),
+                                     height=32, width=32))
+        host = paste_masks_np(masks, boxes, 32, 32, threshold=0.5)
+        np.testing.assert_array_equal((dev >= 0.5).astype(np.uint8), host)
