@@ -77,14 +77,20 @@ class USup(nn.Module):
     loss_lam: float = 1e-4
 
     @nn.compact
-    def __call__(self, nodes, labels, mask):
+    def __call__(self, nodes, labels, mask, U=None):
+        """``U`` is the learnable universe matrix ``(univ_size, dim)``; when
+        ``None`` the module owns it as a param (standalone use), otherwise the
+        caller passes it in (the meta-arch hoists it so the TTA matcher can
+        read the same frozen matrix, reference ``rcnn.py:353``)."""
         G, M, D = nodes.shape
         T = G * M
-        U_param = self.param(
-            "U",
-            lambda key, shape: jax.random.normal(key, shape) + 1.0 / self.univ_size,
-            (self.univ_size, self.dim),
-        )
+        if U is None:
+            U = self.param(
+                "U",
+                lambda key, shape: jax.random.normal(key, shape) + 1.0 / self.univ_size,
+                (self.univ_size, self.dim),
+            )
+        U_param = U
 
         scores, edges = GUniverse(self.dim, self.univ_size, name="Net_U")(
             nodes, mask, U_param

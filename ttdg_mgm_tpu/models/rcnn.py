@@ -1,0 +1,315 @@
+"""Mask R-CNN meta-architecture with branch-dispatch re-designed as methods.
+
+Capability of reference ``DAobjTwoStagePseudoLabGeneralizedRCNN``
+(``adapteacher/modeling/meta_arch/rcnn.py:67-420``): R50-FPN Mask R-CNN plus
+an image-level domain discriminator (GRL) and the two graph-matching modules
+(supervised universe learner + unsupervised TTA matcher), with the string
+branch dispatch (``supervised_source`` / ``supervised_target`` /
+``unsup_data_weak`` / ``TTT`` / ``domain`` / inference) turned into separate
+jittable methods (SURVEY.md section 7.1):
+
+==========================  =============================================
+``forward_inference``       full detection + mask inference (eval path)
+``loss_supervised``         det losses + ``loss_matching`` (U_sup)
+``loss_ttt``                proposals -> nodes -> MGM3 TTA loss
+``loss_domain``             GRL + BCE on the ``dis_type`` FPN level
+``proposals_weak``          box inference only (teacher pseudo-labels)
+==========================  =============================================
+
+Batch layout (static shapes): images ``(B, H, W, 3)`` float32 RGB 0-255
+(padded), ``image_sizes (B, 2)`` valid (h, w); GT as padded
+``(B, Kgt, ...)`` with validity masks; GT masks rasterized on host at a fixed
+``(mask_res, mask_res)`` canvas covering the padded image.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttdg_mgm_tpu.graph.mgm import MGM3Unsup
+from ttdg_mgm_tpu.graph.node_sampler import PrototypeComputation
+from ttdg_mgm_tpu.graph.universe import USup
+from ttdg_mgm_tpu.models.discriminator import FCDiscriminatorImg, grad_reverse
+from ttdg_mgm_tpu.models.fpn import FPN
+from ttdg_mgm_tpu.models.resnet import ResNet50
+from ttdg_mgm_tpu.models.roi_heads import (
+    BoxHead,
+    BoxPredictor,
+    MaskHead,
+    crop_gt_masks,
+    fast_rcnn_losses,
+    label_and_sample_proposals,
+    mask_loss,
+    roi_box_inference,
+)
+from ttdg_mgm_tpu.models.rpn import (
+    RPNHead,
+    generate_proposals,
+    level_anchors,
+    rpn_losses,
+)
+from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+# d2 defaults (Base-RCNN-FPN): caffe-era pixel stats, RGB format quirk kept
+PIXEL_MEAN = (103.530, 116.280, 123.675)
+PIXEL_STD = (1.0, 1.0, 1.0)
+
+
+def _bce_with_logits_mean(logits, target_value):
+    x = jnp.clip(logits, -30, 30)
+    t = jnp.full_like(x, target_value)
+    return jnp.mean(jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x))))
+
+
+class MaskRCNN(nn.Module):
+    num_classes: int = 2
+    univ_size: int = 32
+    sample_dist: int = 10
+    node_cap_per_level: int = 20
+    dis_type: str = "p2"
+    cls_loss_type: str = "CrossEntropy"  # or "FocalLoss"
+    pixel_mean: Sequence[float] = PIXEL_MEAN
+    pixel_std: Sequence[float] = PIXEL_STD
+    # proposal budgets (d2 Base-RCNN-FPN)
+    pre_nms_topk_train: int = 2000
+    pre_nms_topk_test: int = 1000
+    post_nms_topk: int = 1000
+    detections_per_image: int = 100
+    batch_size_per_image: int = 512
+    mask_fg_cap: int = 128
+    compute_dtype: str = "float32"  # "bfloat16" for TPU throughput
+
+    def setup(self):
+        self.backbone = ResNet50()
+        self.fpn = FPN()
+        self.rpn_head = RPNHead()
+        self.box_head = BoxHead()
+        self.box_predictor = BoxPredictor(self.num_classes)
+        self.mask_head = MaskHead(self.num_classes)
+        self.D_img = FCDiscriminatorImg(256)
+        self.multi_matching_sup = USup(self.num_classes, self.univ_size)
+        self.multi_matching_unsup = MGM3Unsup(self.num_classes, self.univ_size)
+        self.graph_generator = PrototypeComputation(
+            self.num_classes, self.sample_dist, self.node_cap_per_level
+        )
+        self.U = self.param(
+            "U",
+            lambda key, shape: jax.random.normal(key, shape) + 1.0 / self.univ_size,
+            (self.univ_size, 256),
+        )
+
+    # -- shared feature path -------------------------------------------------
+
+    def extract_features(self, images):
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        x = (images - mean) / std
+        if self.compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
+        feats = self.fpn(self.backbone(x))
+        if self.compute_dtype == "bfloat16":
+            feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        return feats
+
+    def _feature_list(self, feats):
+        return [feats[f"p{i}"] for i in range(2, 7)]
+
+    def _proposals(self, feats, image_sizes, *, train: bool):
+        levels = self._feature_list(feats)
+        logits, regs = self.rpn_head(levels)
+        anchors = level_anchors([(f.shape[1], f.shape[2]) for f in levels])
+        boxes, scores, valid = generate_proposals(
+            logits, regs, anchors, image_sizes,
+            pre_nms_topk=self.pre_nms_topk_train if train else self.pre_nms_topk_test,
+            post_nms_topk=self.post_nms_topk,
+        )
+        return (logits, regs, anchors), (boxes, scores, valid)
+
+    def _box_inference(self, feats, prop_boxes, prop_valid, image_sizes):
+        """Per-image fast-rcnn inference -> top detections (B, D, ...)."""
+        B = prop_boxes.shape[0]
+        pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+
+        def per_image(args):
+            fs, boxes, valid, hw = args
+            pooled = multilevel_roi_align(fs, boxes, output_size=7)
+            x = self.box_head(pooled)
+            scores, deltas = self.box_predictor(x)
+            return roi_box_inference(
+                scores, deltas, boxes, valid, hw,
+                num_classes=self.num_classes,
+                topk=self.detections_per_image,
+            )
+
+        outs = [
+            per_image(([f[b] for f in pool_feats], prop_boxes[b], prop_valid[b],
+                       image_sizes[b]))
+            for b in range(B)
+        ]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
+
+    # -- branches ------------------------------------------------------------
+
+    def forward_inference(self, images, image_sizes):
+        """Full inference: detections + per-detection mask probabilities.
+
+        Returns dict with boxes (B, D, 4), scores, classes, valid, and
+        mask_probs (B, D, 28, 28) for the predicted class.
+        """
+        feats = self.extract_features(images)
+        _, (pboxes, pscores, pvalid) = self._proposals(feats, image_sizes, train=False)
+        boxes, scores, classes, valid = self._box_inference(
+            feats, pboxes, pvalid, image_sizes
+        )
+        B, D = scores.shape
+        pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+
+        def mask_per_image(args):
+            fs, bx, cl = args
+            pooled = multilevel_roi_align(fs, bx, output_size=14)
+            logits = self.mask_head(pooled)  # (D, 28, 28, C)
+            sel = jnp.take_along_axis(
+                logits, jnp.clip(cl, 0, self.num_classes - 1)[:, None, None, None],
+                axis=3,
+            )[..., 0]
+            return jax.nn.sigmoid(sel)
+
+        mask_probs = jnp.stack([
+            mask_per_image(([f[b] for f in pool_feats], boxes[b], classes[b]))
+            for b in range(B)
+        ])
+        return {
+            "boxes": boxes, "scores": scores, "classes": classes, "valid": valid,
+            "mask_probs": mask_probs,
+        }
+
+    def proposals_weak(self, images, image_sizes):
+        """``unsup_data_weak`` branch: box detections without masks
+        (teacher pseudo-label source, reference ``rcnn.py:305-330``)."""
+        feats = self.extract_features(images)
+        _, (pboxes, pscores, pvalid) = self._proposals(feats, image_sizes, train=False)
+        boxes, scores, classes, valid = self._box_inference(
+            feats, pboxes, pvalid, image_sizes
+        )
+        return {"boxes": boxes, "scores": scores, "classes": classes, "valid": valid}
+
+    def loss_ttt(self, images, image_sizes):
+        """``TTT`` branch (reference ``rcnn.py:331-357``): box inference ->
+        graph nodes from predicted boxes -> unsupervised MGM loss against the
+        frozen universe."""
+        feats = self.extract_features(images)
+        _, (pboxes, pscores, pvalid) = self._proposals(feats, image_sizes, train=False)
+        boxes, scores, classes, valid = self._box_inference(
+            feats, pboxes, pvalid, image_sizes
+        )
+        nodes, labels, node_mask = self.graph_generator(
+            self._feature_list(feats), boxes, classes, valid
+        )
+        loss = self.multi_matching_unsup(
+            nodes, labels, node_mask, jax.lax.stop_gradient(self.U)
+        )
+        return loss
+
+    def loss_supervised(
+        self, images, image_sizes, gt_boxes, gt_classes, gt_masks, gt_valid, rng,
+        *, source: bool = True,
+    ):
+        """``supervised_source`` / ``supervised_target`` branches
+        (reference ``rcnn.py:229-303``): RPN + ROI + mask losses, plus
+        ``loss_matching`` (universe learning on GT-box nodes) when source."""
+        feats = self.extract_features(images)
+        (logits, regs, anchors), (pboxes, pscores, pvalid) = self._proposals(
+            feats, image_sizes, train=True
+        )
+        rng_rpn, rng_roi = jax.random.split(rng)
+        losses = rpn_losses(logits, regs, anchors, gt_boxes, gt_valid, rng_rpn)
+
+        B = images.shape[0]
+        pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+        keys = jax.random.split(rng_roi, B)
+
+        cls_sum = box_sum = 0.0
+        mask_sum = jnp.float32(0.0)
+        mask_cnt = jnp.float32(0.0)
+        n_per_img = self.batch_size_per_image
+        for b in range(B):
+            sb, sc, sm, sfg, sv = label_and_sample_proposals(
+                pboxes[b], pvalid[b], gt_boxes[b], gt_classes[b], gt_valid[b],
+                keys[b], num_classes=self.num_classes,
+                batch_size_per_image=n_per_img,
+            )
+            fs = [f[b] for f in pool_feats]
+            pooled = multilevel_roi_align(fs, sb, output_size=7)
+            x = self.box_head(pooled)
+            scores, deltas = self.box_predictor(x)
+            det = fast_rcnn_losses(
+                scores, deltas, sb, gt_boxes[b][sm], sc, sfg, sv,
+                num_classes=self.num_classes, cls_loss_type=self.cls_loss_type,
+            )
+            cls_sum = cls_sum + det["loss_cls"]
+            box_sum = box_sum + det["loss_box_reg"]
+
+            # mask head on fg proposals compacted to a static cap
+            order = jnp.cumsum(sfg.astype(jnp.int32)) - 1
+            cap = self.mask_fg_cap
+            slot = jnp.where(sfg & (order < cap), order, cap)
+            fg_boxes = jnp.zeros((cap + 1, 4)).at[slot].set(sb)[:cap]
+            fg_cls = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(sc)[:cap]
+            fg_matched = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(sm)[:cap]
+            n_fg = jnp.minimum(jnp.sum(sfg.astype(jnp.int32)), cap)
+            fg_mask = jnp.arange(cap) < n_fg
+            pooled_m = multilevel_roi_align(fs, fg_boxes, output_size=14)
+            mlogits = self.mask_head(pooled_m)
+            # GT masks live on a (mask_res, mask_res) canvas of the padded image
+            mres = gt_masks.shape[-1]
+            scale = mres / images.shape[1]
+            m28 = crop_gt_masks(gt_masks[b], fg_matched, fg_boxes * scale)
+            per_fg_bce = mask_loss(mlogits, fg_cls, m28, fg_mask)
+            mask_sum = mask_sum + per_fg_bce * jnp.maximum(n_fg.astype(jnp.float32), 1.0)
+            mask_cnt = mask_cnt + jnp.maximum(n_fg.astype(jnp.float32), 1.0)
+
+        losses["loss_cls"] = cls_sum / B
+        losses["loss_box_reg"] = box_sum / B
+        losses["loss_mask"] = mask_sum / jnp.maximum(mask_cnt, 1.0)
+
+        if source:
+            nodes, labels, node_mask = self.graph_generator(
+                self._feature_list(feats), gt_boxes, gt_classes.astype(jnp.int32),
+                gt_valid,
+            )
+            losses["loss_matching"] = self.multi_matching_sup(
+                nodes, labels, node_mask, self.U
+            )
+        return losses
+
+    def loss_domain(self, images_source, images_target, image_sizes_s=None,
+                    image_sizes_t=None):
+        """``domain`` branch (reference ``rcnn.py:187-216``): gradient-reversed
+        BCE patch discriminator on the ``dis_type`` feature level."""
+        feats_s = self.extract_features(images_source)[self.dis_type]
+        out_s = self.D_img(grad_reverse(feats_s))
+        feats_t = self.extract_features(images_target)[self.dis_type]
+        out_t = self.D_img(grad_reverse(feats_t))
+        return {
+            "loss_D_img_s": _bce_with_logits_mean(out_s, 0.0),
+            "loss_D_img_t": _bce_with_logits_mean(out_t, 1.0),
+        }
+
+    # -- init helper ---------------------------------------------------------
+
+    def __call__(self, images, image_sizes):
+        """Init/trace path touching every submodule (cheap dummies for the
+        graph modules and discriminator)."""
+        out = self.forward_inference(images, image_sizes)
+        feats = self.extract_features(images)
+        _ = self.D_img(feats[self.dis_type])
+        dummy_nodes = jnp.zeros((2, 4, 256))
+        dummy_labels = jnp.ones((2, 4), jnp.int32)
+        dummy_mask = jnp.ones((2, 4), bool)
+        _ = self.multi_matching_sup(dummy_nodes, dummy_labels, dummy_mask, self.U)
+        _ = self.multi_matching_unsup(dummy_nodes, dummy_labels, dummy_mask, self.U)
+        return out

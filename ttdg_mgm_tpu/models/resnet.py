@@ -1,0 +1,106 @@
+"""ResNet-50 backbone with Detectron2 semantics (caffe-style layout).
+
+Re-implements the capability of d2's ``build_resnet_backbone`` as used by the
+reference (``configs/Base-RCNN-FPN.yaml``: R50, OUT_FEATURES res2..res5,
+caffe MSRA weights):
+
+* **FrozenBatchNorm**: affine-only normalization with baked statistics —
+  ``y = x * scale + bias`` where ``scale = gamma / sqrt(var + eps)`` is
+  folded at weight-conversion time.  Parameters live in the normal param tree
+  but receive no gradient via the solver's param-group masks (matching d2's
+  requires_grad=False).
+* **stride_in_1x1**: caffe-style bottlenecks put the stride on the first 1x1
+  conv (d2 ``RESNETS.STRIDE_IN_1X1=True`` default, required for MSRA weight
+  parity).
+* NHWC layout, explicit torch-style padding (pad=1 on 3x3 stride-2 convs is
+  NOT XLA "SAME").
+
+Returns a dict of feature maps ``{"res2": (B, H/4, W/4, 256), ...,
+"res5": (B, H/32, W/32, 2048)}``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+class BottleneckBlock(nn.Module):
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    has_shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(
+            self.bottleneck_channels, (1, 1), strides=self.stride, use_bias=False,
+            name="conv1",
+        )(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.bottleneck_channels, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=False, name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
+
+        if self.has_shortcut:
+            sc = nn.Conv(
+                self.out_channels, (1, 1), strides=self.stride, use_bias=False,
+                name="shortcut",
+            )(x)
+            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNet50(nn.Module):
+    """R50 trunk; stage block counts (3, 4, 6, 3), caffe-style."""
+
+    out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    stage_blocks: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        # stem: 7x7/2 + FrozenBN + relu + maxpool 3x3/2 (torch pad 1)
+        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)), use_bias=False,
+                    name="stem_conv1")(x)
+        x = FrozenBatchNorm(64, name="stem_conv1_norm")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outputs = {}
+        in_ch = 64
+        for stage_idx, num_blocks in enumerate(self.stage_blocks):
+            name = f"res{stage_idx + 2}"
+            out_ch = 256 * (2 ** stage_idx)
+            mid_ch = 64 * (2 ** stage_idx)
+            for b in range(num_blocks):
+                stride = 2 if (b == 0 and stage_idx > 0) else 1
+                x = BottleneckBlock(
+                    mid_ch, out_ch, stride=stride,
+                    has_shortcut=(b == 0),
+                    name=f"{name}_{b}",
+                )(x)
+            in_ch = out_ch
+            if name in self.out_features:
+                outputs[name] = x
+        del in_ch
+        return outputs

@@ -1,0 +1,186 @@
+"""Region Proposal Network (d2 semantics, static shapes).
+
+Capability of the reference's ``PseudoLabRPN``
+(``adapteacher/modeling/proposal_generator/rpn.py:10-55``): a standard d2 RPN
+whose forward can produce proposals with or without computing losses
+(``compute_loss`` flag) — here that split is structural: ``RPNHead`` +
+``generate_proposals`` are the inference path, ``rpn_losses`` is called only
+by training branches.
+
+Static-shape design notes:
+
+* d2 runs one ``batched_nms`` over the concatenated per-level top-k with the
+  level index as the class id — which is exactly independent per-level NMS,
+  so we run NMS per level (K^2 IoU stays small) and merge by score.
+* anchor subsampling (256 @ 0.5 positive fraction) keeps d2's randomized
+  choice via masked random ranking — same distribution, fixed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttdg_mgm_tpu.ops.boxes import (
+    cell_anchors,
+    clip_boxes,
+    decode_boxes,
+    encode_boxes,
+    grid_anchors,
+    pairwise_iou,
+)
+from ttdg_mgm_tpu.ops.nms import nms_mask
+
+ANCHOR_SIZES = ((32,), (64,), (128,), (256,), (512,))
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+FPN_STRIDES = (4, 8, 16, 32, 64)
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + 1x1 objectness / 4*A deltas (d2 StandardRPNHead)."""
+
+    num_anchors: int = 3
+    channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        conv = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="anchor_deltas")
+        logits, regs = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(obj(t))
+            regs.append(deltas(t))
+        return logits, regs
+
+
+def level_anchors(feat_shapes, strides=FPN_STRIDES, sizes=ANCHOR_SIZES,
+                  ratios=ANCHOR_RATIOS):
+    """Anchors per level for given static feature shapes [(H, W), ...]."""
+    out = []
+    for (h, w), stride, size in zip(feat_shapes, strides, sizes):
+        out.append(grid_anchors(h, w, stride, cell_anchors(size, ratios)))
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pre_nms_topk", "post_nms_topk", "nms_thresh")
+)
+def generate_proposals(logits, regs, anchors, image_sizes, *,
+                       pre_nms_topk: int = 1000, post_nms_topk: int = 1000,
+                       nms_thresh: float = 0.7):
+    """Top-k + per-level NMS + merge (d2 ``find_top_rpn_proposals``).
+
+    logits: list of (B, H, W, A); regs: list of (B, H, W, 4A);
+    anchors: list of (H*W*A, 4); image_sizes: (B, 2) [h, w] valid sizes.
+    Returns ``(boxes (B, K, 4), scores (B, K), valid (B, K))`` with
+    K = post_nms_topk, sorted by score.
+    """
+    def per_image(lgt, rgs, h, w):
+        cand_boxes, cand_scores = [], []
+        for lv, anc in enumerate(anchors):
+            score = lgt[lv].reshape(-1)
+            delta = rgs[lv].reshape(-1, 4)
+            k = min(pre_nms_topk, score.shape[0])
+            top_s, idx = jax.lax.top_k(score, k)
+            boxes = decode_boxes(delta[idx], anc[idx])
+            boxes = clip_boxes(boxes, h, w)
+            ww = boxes[:, 2] - boxes[:, 0]
+            hh = boxes[:, 3] - boxes[:, 1]
+            valid = (ww > 0) & (hh > 0)
+            keep = nms_mask(boxes, top_s, valid, iou_threshold=nms_thresh)
+            cand_boxes.append(boxes)
+            cand_scores.append(jnp.where(keep, top_s, -jnp.inf))
+        all_boxes = jnp.concatenate(cand_boxes, 0)
+        all_scores = jnp.concatenate(cand_scores, 0)
+        top_s, idx = jax.lax.top_k(all_scores, post_nms_topk)
+        v = jnp.isfinite(top_s)
+        return (
+            jnp.where(v[:, None], all_boxes[idx], 0.0),
+            jnp.where(v, top_s, 0.0),
+            v,
+        )
+
+    return jax.vmap(per_image)(
+        [l for l in logits], [r for r in regs], image_sizes[:, 0], image_sizes[:, 1]
+    )
+
+
+def match_anchors(anchors, gt_boxes, gt_valid, *, low_thresh=0.3, high_thresh=0.7):
+    """d2 Matcher with allow_low_quality_matches.
+
+    Returns ``(labels (N,), matched_gt (N,))`` with labels 1 pos / 0 neg /
+    -1 ignore; matched_gt is the argmax gt index for every anchor.
+    """
+    iou = pairwise_iou(anchors, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best = jnp.max(iou, axis=1)
+    matched = jnp.argmax(iou, axis=1)
+    labels = jnp.where(best >= high_thresh, 1, jnp.where(best < low_thresh, 0, -1))
+    # low-quality matches: for each gt, anchors achieving its max IoU
+    best_per_gt = jnp.max(iou, axis=0)
+    lq = jnp.any((iou == best_per_gt[None, :]) & (best_per_gt[None, :] > 0)
+                 & gt_valid[None, :], axis=1)
+    labels = jnp.where(lq, 1, labels)
+    no_gt = ~jnp.any(gt_valid)
+    labels = jnp.where(no_gt, 0, labels)
+    return labels, matched
+
+
+def subsample_labels(labels, key, num_samples=256, positive_fraction=0.5):
+    """d2 ``subsample_labels``: masked random ranking with fixed shapes.
+    Returns a float mask (N,) of sampled anchors and the positive mask."""
+    pos = labels == 1
+    neg = labels == 0
+    r = jax.random.uniform(key, labels.shape)
+    num_pos_target = int(num_samples * positive_fraction)
+    pos_rank = jnp.where(pos, r, 2.0)
+    pos_order = jnp.argsort(pos_rank)
+    pos_rankpos = jnp.zeros_like(labels).at[pos_order].set(jnp.arange(labels.shape[0]))
+    num_pos = jnp.minimum(jnp.sum(pos.astype(jnp.int32)), num_pos_target)
+    pos_sel = pos & (pos_rankpos < num_pos)
+    num_neg = num_samples - num_pos
+    neg_rank = jnp.where(neg, r, 2.0)
+    neg_order = jnp.argsort(neg_rank)
+    neg_rankpos = jnp.zeros_like(labels).at[neg_order].set(jnp.arange(labels.shape[0]))
+    neg_sel = neg & (neg_rankpos < num_neg)
+    return (pos_sel | neg_sel), pos_sel
+
+
+def rpn_losses(logits, regs, anchors, gt_boxes, gt_valid, key, *,
+               batch_size_per_image: int = 256, positive_fraction: float = 0.5):
+    """d2 RPN losses: BCE objectness + L1 (smooth-l1 beta 0) on deltas,
+    normalized by ``B * batch_size_per_image``.
+
+    logits: list of (B, H, W, A) -> flattened; gt_boxes (B, Kgt, 4).
+    """
+    B = logits[0].shape[0]
+    anc = jnp.concatenate(anchors, 0)
+    flat_logits = jnp.concatenate([l.reshape(B, -1) for l in logits], axis=1)
+    flat_regs = jnp.concatenate([r.reshape(B, -1, 4) for r in regs], axis=1)
+
+    def per_image(lgt, rgs, gtb, gtv, k):
+        labels, matched = match_anchors(anc, gtb, gtv)
+        sel, pos_sel = subsample_labels(labels, k, batch_size_per_image,
+                                        positive_fraction)
+        gt_deltas = encode_boxes(anc, gtb[matched])
+        box_l = jnp.sum(
+            jnp.where(pos_sel[:, None], jnp.abs(rgs - gt_deltas), 0.0)
+        )
+        obj = jnp.clip(lgt, -30, 30)
+        bce = jnp.maximum(obj, 0) - obj * (labels == 1) + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+        obj_l = jnp.sum(jnp.where(sel, bce, 0.0))
+        return box_l, obj_l
+
+    keys = jax.random.split(key, B)
+    box_l, obj_l = jax.vmap(per_image)(flat_logits, flat_regs, gt_boxes, gt_valid, keys)
+    norm = B * batch_size_per_image
+    return {
+        "loss_rpn_cls": jnp.sum(obj_l) / norm,
+        "loss_rpn_loc": jnp.sum(box_l) / norm,
+    }

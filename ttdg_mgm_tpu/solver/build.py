@@ -1,0 +1,105 @@
+"""Optimizer + LR schedule construction.
+
+Capability of d2 ``build_optimizer`` as used by the reference (SGD momentum
+0.9, weight decay 1e-4, per-group LRs) and the reference's schedulers
+(``adapteacher/solver/build.py:8-43``, ``lr_scheduler.py:8-52``):
+``WarmupMultiStepLR``, ``WarmupCosineLR``, ``WarmupTwoStageMultiStepLR``.
+
+TPU-native differences: schedules are pure step->lr functions consumed by
+``optax.sgd``; d2's requires_grad freezing (``BACKBONE.FREEZE_AT=2`` -> stem +
+res2, plus all FrozenBatchNorm affine params) becomes an ``optax.masked``
+zero-update mask over the param tree.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_right
+from typing import Sequence
+
+import jax.numpy as jnp
+import optax
+
+
+def _warmup_factor(step, warmup_iters: int, warmup_factor: float):
+    alpha = jnp.minimum(step / max(warmup_iters, 1), 1.0)
+    return jnp.where(step >= warmup_iters, 1.0, warmup_factor * (1 - alpha) + alpha)
+
+
+def warmup_multistep_schedule(base_lr: float, steps: Sequence[int],
+                              gamma: float = 0.1, warmup_iters: int = 1000,
+                              warmup_factor: float = 0.001):
+    steps = tuple(steps)
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        decay = jnp.ones(())
+        for s in steps:
+            decay = decay * jnp.where(count >= s, gamma, 1.0)
+        return base_lr * decay * _warmup_factor(count, warmup_iters, warmup_factor)
+
+    return schedule
+
+
+def warmup_two_stage_schedule(base_lr: float, milestones: Sequence[int],
+                              factor_list: Sequence[float],
+                              warmup_iters: int = 1000,
+                              warmup_factor: float = 0.001):
+    """Reference ``WarmupTwoStageMultiStepLR``: per-interval LR factors."""
+    milestones = tuple(milestones)
+    factor_list = tuple(factor_list)
+    assert len(factor_list) == len(milestones) + 1
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        factor = jnp.full((), factor_list[0], jnp.float32)
+        for i, m in enumerate(milestones):
+            factor = jnp.where(count >= m, factor_list[i + 1], factor)
+        return base_lr * factor * _warmup_factor(count, warmup_iters, warmup_factor)
+
+    return schedule
+
+
+def warmup_cosine_schedule(base_lr: float, max_iters: int,
+                           warmup_iters: int = 1000, warmup_factor: float = 0.001):
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * count / max_iters))
+        return base_lr * cos * _warmup_factor(count, warmup_iters, warmup_factor)
+
+    return schedule
+
+
+def trainable_mask(params, *, freeze_at: int = 2):
+    """True = trainable.  Freezes FrozenBatchNorm affines everywhere and the
+    backbone stem + res2..res{freeze_at} stages (d2 ``BACKBONE.FREEZE_AT``)."""
+    frozen_stages = [f"res{i}" for i in range(2, freeze_at + 1)]
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        for p in path:
+            if p.endswith("_norm") or p == "norm":
+                return False
+        if len(path) >= 2 and path[0] == "backbone":
+            if path[1].startswith("stem") and freeze_at >= 1:
+                return False
+            for st in frozen_stages:
+                if path[1].startswith(st + "_"):
+                    return False
+        return True
+
+    return walk(params, ())
+
+
+def build_optimizer(params, schedule, *, momentum: float = 0.9,
+                    weight_decay: float = 1e-4, freeze_at: int = 2,
+                    nesterov: bool = False):
+    """SGD + momentum with decoupled-into-gradient weight decay (torch
+    semantics: wd added to the gradient before the momentum update)."""
+    mask = trainable_mask(params, freeze_at=freeze_at)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=nesterov),
+    )
+    return optax.masked(tx, mask)
