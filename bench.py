@@ -1,0 +1,69 @@
+"""Benchmark: TTA throughput (images/sec/chip) of the donated-buffer jitted
+adaptation step on the flagship Mask R-CNN R50-FPN.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference's TTA loop runs ~6 separate CUDA launches + a CPU scipy
+Hungarian round trip per batch (SURVEY.md section 3.1); no published
+baseline number exists (BASELINE.md), so ``vs_baseline`` reports the ratio
+against the recorded value in ``bench_baseline.json`` when present (our own
+round-over-round record), else 0.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ttdg_mgm_tpu.engine.steps import TrainState, make_tta_step
+    from ttdg_mgm_tpu.models import MaskRCNN
+    from ttdg_mgm_tpu.solver.build import build_optimizer
+
+    B, H, W = 4, 512, 512  # reference TTA batch (TEST.BATCH=4, test_segment.yaml)
+    model = MaskRCNN(num_classes=2)
+
+    rng = jax.random.PRNGKey(0)
+    init_imgs = jnp.zeros((1, 64, 64, 3))
+    params = model.init(rng, init_imgs, jnp.asarray([[64.0, 64.0]]))["params"]
+    tx = build_optimizer(params, lambda _: 0.005)
+    state = TrainState.create(params, tx)
+
+    images = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
+    sizes = jnp.tile(jnp.asarray([[float(H), float(W)]]), (B, 1))
+    batch = {"image": images, "image_sizes": sizes}
+
+    step = make_tta_step(model, tx)
+    state, loss = step(state, batch)  # compile + warmup
+    jax.block_until_ready(loss)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * n_iters / dt
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f).get("tta_images_per_sec_per_chip", 0.0)
+        if base > 0:
+            vs = imgs_per_sec / base
+    print(json.dumps({
+        "metric": "tta_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Data-layer tests + the end-to-end flagship path: synthetic COCO dataset ->
+register -> eval-only TTA -> Dice/E/S results (SURVEY.md section 3.1 in
+miniature)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from ttdg_mgm_tpu.data.catalog import DatasetCatalog
+from ttdg_mgm_tpu.data.coco import load_coco_json, register_coco_instances
+from ttdg_mgm_tpu.data.loader import (
+    build_test_loader,
+    build_train_loader,
+    pack_batch,
+    prepare_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    """4 images (64x64) with one bright disc each + COCO JSON."""
+    root = tmp_path_factory.mktemp("ds")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        arr = np.full((64, 64, 3), 30, np.uint8)
+        cx, cy, r = 20 + 6 * i, 24 + 4 * i, 10
+        yy, xx = np.mgrid[:64, :64]
+        disc = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        arr[disc] = [200, 180, 160]
+        arr += rng.randint(0, 10, arr.shape, dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+        images.append({"id": i, "file_name": f"im{i}.png", "height": 64, "width": 64})
+        # polygon approximating the disc
+        theta = np.linspace(0, 2 * np.pi, 17)[:-1]
+        poly = np.stack([cx + r * np.cos(theta), cy + r * np.sin(theta)], -1)
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [cx - r, cy - r, 2 * r, 2 * r],
+            "area": float(np.pi * r * r), "iscrowd": 0,
+            "segmentation": [poly.reshape(-1).tolist()],
+        })
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "disc"}, {"id": 2, "name": "cup"}],
+    }
+    json_path = root / "train.json"
+    json_path.write_text(json.dumps(coco))
+    name = "_test_fixture_ds"
+    DatasetCatalog.remove(name)
+    register_coco_instances(name, str(json_path), str(img_dir))
+    return name, str(json_path), str(img_dir)
+
+
+class TestCocoLoading:
+    def test_records_schema(self, coco_fixture):
+        name, json_path, img_dir = coco_fixture
+        recs = load_coco_json(json_path, img_dir)
+        assert len(recs) == 4
+        r = recs[0]
+        assert r["height"] == 64 and len(r["annotations"]) == 1
+        ann = r["annotations"][0]
+        assert ann["category_id"] == 0  # contiguous remap of category 1
+        x1, y1, x2, y2 = ann["bbox"]
+        assert x2 > x1 and y2 > y1  # XYWH converted to XYXY
+
+    def test_prepare_and_pack(self, coco_fixture):
+        name, *_ = coco_fixture
+        recs = DatasetCatalog.get(name)
+        s = prepare_sample(recs[0], canvas=96, min_size=96, max_size=128)
+        assert s["image"].shape[0] == 96
+        batch = pack_batch([s], canvas=96, gt_cap=5, mask_res=48)
+        assert batch["image"].shape == (1, 96, 96, 3)
+        assert batch["gt_valid"][0, 0] and not batch["gt_valid"][0, 1]
+        # rasterized mask overlaps the scaled gt box region
+        m = batch["gt_masks"][0, 0]
+        assert m.sum() > 10
+
+    def test_flip_consistency(self, coco_fixture):
+        name, *_ = coco_fixture
+        recs = DatasetCatalog.get(name)
+        s = prepare_sample(recs[0], canvas=64, min_size=64, max_size=64, flip=True)
+        sn = prepare_sample(recs[0], canvas=64, min_size=64, max_size=64, flip=False)
+        w = s["image"].shape[1]
+        np.testing.assert_allclose(s["boxes"][0][0], w - sn["boxes"][0][2], atol=1e-4)
+
+    def test_loaders(self, coco_fixture):
+        name, *_ = coco_fixture
+        train = build_train_loader([name], batch_size=2, canvas=64, min_size=64,
+                                   max_size=64, gt_cap=4, mask_res=32)
+        b = next(train)
+        assert b["image"].shape == (2, 64, 64, 3)
+        test = build_test_loader(name, batch_size=3, canvas=64, min_size=64,
+                                 max_size=64)
+        batches = list(test)
+        assert len(batches) == 2  # 4 images in batches of 3 -> 3 + 1(padded)
+        assert batches[1][1][0]["n_real"] == 1
+
+
+class TestEndToEndTTA:
+    def test_flagship_path(self, coco_fixture):
+        """Eval-only TTA on the synthetic dataset with a tiny model: the TTA
+        loop must run, adapt parameters, and produce finite metrics."""
+        from ttdg_mgm_tpu.engine.trainer import BaselineTrainer
+        from ttdg_mgm_tpu.models import MaskRCNN
+        from ttdg_mgm_tpu.solver.build import build_optimizer
+
+        name, *_ = coco_fixture
+        model = MaskRCNN(
+            num_classes=2, univ_size=8, node_cap_per_level=4,
+            pre_nms_topk_train=64, pre_nms_topk_test=64, post_nms_topk=32,
+            detections_per_image=8, batch_size_per_image=16, mask_fg_cap=8,
+        )
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.asarray([[64.0, 64.0]]),
+        )["params"]
+        tx = build_optimizer(params, lambda _: 1.0)
+        trainer = BaselineTrainer(model, tx, params, canvas=64, min_size=64,
+                                  max_size=64, gt_cap=4, mask_res=32)
+        # host copy: the donated-buffer TTA step will consume the originals
+        p_before = np.array(params["backbone"]["res4_0"]["conv1"]["kernel"])
+        results = trainer.test([name], ttt=True, tta_batch=2, min_batch_num=2,
+                               dice_threshold=0.0)
+        # a random-init detector may produce detections with no interior
+        # FCOS-positive locations -> zero nodes -> loss 0 and zero gradient
+        # (the reference skips such batches: ``if loss is None: continue``);
+        # only when the loss was nonzero must parameters have moved.
+        p_after = trainer.state.params["backbone"]["res4_0"]["conv1"]["kernel"]
+        moved = float(np.abs(np.asarray(p_after) - p_before).max()) > 0
+        assert moved or float(trainer.last_tta_loss) == 0.0, (
+            "TTA must update backbone parameters when the matching loss is "
+            f"nonzero (loss={trainer.last_tta_loss})"
+        )
+        assert name in results and f"{name.split('_')[0]}_mean" in results
+        for v in results[name].values():
+            assert np.isfinite(v) or np.isnan(v)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""CLI entry point mirroring the reference's ``train_net.py`` semantics:
+
+    python train_net.py --config configs/seg_res50fpn_source.yaml [opts ...]
+    python train_net.py --eval-only --config configs/test_segment.yaml \
+        MODEL.WEIGHTS <ckpt> [opts ...]
+
+(reference ``train_net.py:22-101``: setup -> trainer dispatch by
+``SEMISUPNET.Trainer`` -> train or eval-only TTA; results append to
+``OUTPUT_DIR/result_ap.txt``).  Multi-device runs need no ``launch``: the
+jitted steps are mesh-polymorphic over all visible TPU chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-file", "--config", dest="config_file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--datasets-root", default=None,
+                   help="root of the Fundus/Polyp dataset tree (or TTDG_DATASETS)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+
+    from ttdg_mgm_tpu.config import setup_cfg
+    from ttdg_mgm_tpu.data.builtin import register_all_medical
+    from ttdg_mgm_tpu.build import build_trainer
+
+    cfg = setup_cfg(args.config_file, args.opts)
+    register_all_medical(args.datasets_root or cfg.DATASETS.ROOT)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    trainer = build_trainer(cfg)
+
+    if args.eval_only:
+        results = trainer.test(
+            cfg.DATASETS.TEST,
+            ttt=cfg.TEST.TTT,
+            tta_batch=cfg.TEST.BATCH,
+            min_batch_num=cfg.TEST.MIN_BATCH_NUM,
+            dice_threshold=cfg.TEST.DICE_THRES,
+        )
+        out_path = os.path.join(cfg.OUTPUT_DIR, "result_ap.txt")
+        with open(out_path, "a") as f:
+            f.write(json.dumps({"weights": cfg.MODEL.WEIGHTS,
+                                "results": results}) + "\n")
+        print(json.dumps(results, indent=2))
+        return results
+
+    trainer.train(
+        cfg.DATASETS.TRAIN,
+        max_iter=cfg.SOLVER.MAX_ITER,
+        batch_size=cfg.SOLVER.IMS_PER_BATCH,
+        seed=cfg.SEED,
+    )
+    from ttdg_mgm_tpu.checkpoint.save import Checkpointer
+
+    ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    ckpt.save(int(trainer.state.step), {"params": trainer.state.params}, wait=True)
+
+
+if __name__ == "__main__":
+    main()

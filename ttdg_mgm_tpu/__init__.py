@@ -30,3 +30,33 @@ Layout mirrors the reference's layer map (SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the full Mask R-CNN + GA-GM programs take
+# minutes to compile on a single host core; caching makes every process after
+# the first (tests, bench, driver entries) start warm.  Opt out with
+# TTDG_NO_COMPILATION_CACHE=1.
+import os as _os
+
+if not _os.environ.get("TTDG_NO_COMPILATION_CACHE"):
+    # scope by XLA_FLAGS: entries compiled under the virtual-device CPU flags
+    # carry different target-machine features and must not be loaded into a
+    # differently-flagged process (XLA warns about possible SIGILL).
+    import hashlib as _hashlib
+
+    _flavor = _hashlib.md5(
+        _os.environ.get("XLA_FLAGS", "").encode()
+    ).hexdigest()[:8]
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      f"ttdg_jax_cache_{_flavor}"),
+    )
+    try:
+        import jax as _jax
+
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+del _os

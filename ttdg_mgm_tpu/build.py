@@ -1,0 +1,132 @@
+"""Config -> model / optimizer / trainer construction.
+
+The equivalent of d2's registry-driven builders (``build_model``,
+``build_optimizer``, ``build_lr_scheduler``) for the single flagship
+meta-architecture; the reference's registry strings
+(``DAobjTwoStagePseudoLabGeneralizedRCNN``, ``PseudoLabRPN``,
+``StandardROIHeadsPseudoLab``) map onto constructor options here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ttdg_mgm_tpu.config import CfgNode
+from ttdg_mgm_tpu.models import MaskRCNN
+from ttdg_mgm_tpu.solver.build import (
+    build_optimizer,
+    warmup_cosine_schedule,
+    warmup_multistep_schedule,
+    warmup_two_stage_schedule,
+)
+
+
+def build_model(cfg: CfgNode) -> MaskRCNN:
+    return MaskRCNN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        univ_size=cfg.MODEL.GRAPH.UNIV_SIZE,
+        sample_dist=cfg.MODEL.GRAPH.SAMPLE_DIST,
+        node_cap_per_level=max(cfg.MODEL.GRAPH.MAX_NODES // 5, 4),
+        dis_type=cfg.SEMISUPNET.DIS_TYPE,
+        cls_loss_type=cfg.MODEL.ROI_HEADS.LOSS,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        pre_nms_topk_train=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+        pre_nms_topk_test=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+        post_nms_topk=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        compute_dtype=(
+            "bfloat16" if (cfg.SOLVER.AMP.ENABLED or cfg.TPU.PRECISION == "bfloat16")
+            else "float32"
+        ),
+    )
+
+
+def build_schedule(cfg: CfgNode):
+    name = cfg.SOLVER.get("LR_SCHEDULER_NAME", "WarmupMultiStepLR")
+    if name == "WarmupCosineLR":
+        return warmup_cosine_schedule(
+            cfg.SOLVER.BASE_LR, cfg.SOLVER.MAX_ITER,
+            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+        )
+    if name == "WarmupTwoStageMultiStepLR":
+        return warmup_two_stage_schedule(
+            cfg.SOLVER.BASE_LR, cfg.SOLVER.STEPS, cfg.SOLVER.FACTOR_LIST,
+            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+        )
+    return warmup_multistep_schedule(
+        cfg.SOLVER.BASE_LR, cfg.SOLVER.STEPS, cfg.SOLVER.GAMMA,
+        warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+        warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+    )
+
+
+def init_params(cfg: CfgNode, model: MaskRCNN, seed: int = 0):
+    """Initialize params (cheap 64x64 trace), then optionally load converted
+    reference weights (``MODEL.WEIGHTS``)."""
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray([[64.0, 64.0]]),
+    )["params"]
+    weights = cfg.MODEL.WEIGHTS
+    if weights:
+        import os
+
+        if os.path.exists(weights):
+            from ttdg_mgm_tpu.checkpoint.converter import load_reference_checkpoint
+
+            prefer = "modelStudent" if cfg.TEST.EVAL_STU else "modelTeacher"
+            loaded = load_reference_checkpoint(
+                weights, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES, prefer=prefer
+            )
+            params = _merge_params(params, loaded)
+    return params
+
+
+def _merge_params(params, loaded):
+    """Name/shape-matched merge with shape-mismatch skip (reference
+    ``detection_checkpoint.py:66-93`` semantics)."""
+    import numpy as np
+
+    def merge(p, l, path=""):
+        if isinstance(p, dict):
+            return {
+                k: merge(v, l.get(k), path + "/" + k) if isinstance(l, dict) else v
+                for k, v in p.items()
+            }
+        if l is None:
+            return p
+        l = np.asarray(l)
+        if tuple(l.shape) != tuple(p.shape):
+            return p
+        return jnp.asarray(l, p.dtype)
+
+    return merge(params, loaded)
+
+
+def build_trainer(cfg: CfgNode, *, seed: int = 0):
+    from ttdg_mgm_tpu.engine.trainer import BaselineTrainer
+
+    model = build_model(cfg)
+    params = init_params(cfg, model, seed)
+    tx = build_optimizer(
+        params, build_schedule(cfg), momentum=cfg.SOLVER.MOMENTUM,
+        weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+    )
+    return BaselineTrainer(
+        model, tx, params,
+        canvas=_canvas_size(cfg),
+        min_size=cfg.INPUT.MIN_SIZE_TEST,
+        max_size=cfg.INPUT.MAX_SIZE_TEST,
+        gt_cap=cfg.TPU.MAX_GT_PER_IMAGE,
+    )
+
+
+def _canvas_size(cfg: CfgNode) -> int:
+    d = cfg.TPU.IMAGE_DIVISIBILITY
+    return ((cfg.INPUT.MIN_SIZE_TEST + d - 1) // d) * d

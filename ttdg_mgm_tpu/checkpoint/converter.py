@@ -1,0 +1,210 @@
+"""PyTorch/Detectron2 -> JAX weight conversion.
+
+Capability of reference ``DetectionTSCheckpointer``
+(``adapteacher/checkpoint/detection_checkpoint.py:10-93``) plus the
+PyTorch->JAX converter SURVEY.md section 5.4 requires for Dice parity with
+the released ``.pth`` models: maps the d2 state_dict names of
+``DAobjTwoStagePseudoLabGeneralizedRCNN`` onto the Flax param tree of
+``models.rcnn.MaskRCNN``.
+
+Layout conversions:
+
+* Conv2d ``(O, I, kh, kw)`` -> ``(kh, kw, I, O)``
+* Linear ``(O, I)`` -> ``(I, O)``
+* box-head fc1 input reordering: torch flattens NCHW ``(C, 7, 7)``,
+  our head flattens NHWC ``(7, 7, C)``
+* ConvTranspose2d ``(I, O, kh, kw)`` -> ``(kh, kw, I, O)``, spatially
+  flipped (flax ``ConvTranspose`` correlates, torch transposed-conv flips)
+* FrozenBatchNorm ``(weight, bias, running_mean, running_var)`` folded to
+  ``scale = w / sqrt(var + eps)``, ``bias = b - mean * scale``
+* teacher/student ensembles: ``modelStudent.``/``modelTeacher.`` prefixes
+  select which member to convert (reference loads the student for
+  Caffe2-style checkpoints, the whole ensemble otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(w):
+    return np.transpose(w, (1, 0))
+
+
+def _deconv(w):
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def _fold_bn(sd, prefix):
+    w = sd[prefix + ".weight"]
+    b = sd[prefix + ".bias"]
+    mean = sd.get(prefix + ".running_mean", np.zeros_like(w))
+    var = sd.get(prefix + ".running_var", np.ones_like(w))
+    scale = w / np.sqrt(var + BN_EPS)
+    return {"scale": scale, "bias": b - mean * scale}
+
+
+def _conv_block(sd, prefix):
+    return {"kernel": _conv(sd[prefix + ".weight"])} | (
+        {"bias": sd[prefix + ".bias"]} if prefix + ".bias" in sd else {}
+    )
+
+
+def _dense_block(sd, prefix, *, bias=True):
+    out = {"kernel": _dense(sd[prefix + ".weight"])}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _mha_block(sd, prefix):
+    return {
+        "linear_q": _dense_block(sd, prefix + ".linear_q"),
+        "linear_k": _dense_block(sd, prefix + ".linear_k"),
+        "linear_v": _dense_block(sd, prefix + ".linear_v"),
+        "linear_final": _dense_block(sd, prefix + ".linear_final"),
+        "layer_norm": {
+            "scale": sd[prefix + ".layer_norm.weight"],
+            "bias": sd[prefix + ".layer_norm.bias"],
+        },
+    }
+
+
+def _affinity_block(sd, prefix):
+    """Reference Affinity: project_sr/tg + fc_M Sequential(Linear, ReLU,
+    Linear); fc_M.0 is split into its X/Y halves (see graph.affinity)."""
+    w0 = sd[prefix + ".fc_M.0.weight"]  # (512, 512) acting on [X(256); Y(256)]
+    b0 = sd[prefix + ".fc_M.0.bias"]
+    d = w0.shape[1] // 2
+    return {
+        "project_sr": {"kernel": _dense(sd[prefix + ".project_sr.weight"])},
+        "project_tg": {"kernel": _dense(sd[prefix + ".project_tg.weight"])},
+        "fc0_x": {"kernel": _dense(w0[:, :d]), "bias": b0},
+        "fc0_y": {"kernel": _dense(w0[:, d:])},
+        "fc1": _dense_block(sd, prefix + ".fc_M.2"),
+    }
+
+
+def convert_d2_state_dict(sd: dict, *, num_classes: int = 2,
+                          box_head_channels: int = 256,
+                          member: str | None = None) -> dict:
+    """Convert a d2/reference state_dict (numpy arrays) to the Flax params
+    tree of ``MaskRCNN``.  ``member`` selects ``modelStudent``/``modelTeacher``
+    when the checkpoint holds an ``EnsembleTSModel``."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if member is not None:
+        pre = member + "."
+        sd = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+
+    p: dict = {}
+
+    # ---- backbone (d2 names: backbone.bottom_up.stem / res{2-5}.{i}) ------
+    bb: dict = {}
+    bu = "backbone.bottom_up."
+    if bu + "stem.conv1.weight" not in sd and "backbone.stem.conv1.weight" in sd:
+        bu = "backbone."  # plain-resnet naming
+    bb["stem_conv1"] = {"kernel": _conv(sd[bu + "stem.conv1.weight"])}
+    bb["stem_conv1_norm"] = _fold_bn(sd, bu + "stem.conv1.norm")
+    blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+    for stage, n in blocks.items():
+        for i in range(n):
+            pre = f"{bu}{stage}.{i}."
+            blk = {}
+            for c in ("conv1", "conv2", "conv3"):
+                blk[c] = {"kernel": _conv(sd[pre + c + ".weight"])}
+                blk[c + "_norm"] = _fold_bn(sd, pre + c + ".norm")
+            if pre + "shortcut.weight" in sd:
+                blk["shortcut"] = {"kernel": _conv(sd[pre + "shortcut.weight"])}
+                blk["shortcut_norm"] = _fold_bn(sd, pre + "shortcut.norm")
+            bb[f"{stage}_{i}"] = blk
+    p["backbone"] = bb
+
+    # ---- FPN ---------------------------------------------------------------
+    fpn = {}
+    for i in range(2, 6):
+        fpn[f"lateral{i}"] = _conv_block(sd, f"backbone.fpn_lateral{i}")
+        fpn[f"output{i}"] = _conv_block(sd, f"backbone.fpn_output{i}")
+    p["fpn"] = fpn
+
+    # ---- RPN ---------------------------------------------------------------
+    rh = "proposal_generator.rpn_head."
+    p["rpn_head"] = {
+        "conv": _conv_block(sd, rh + "conv"),
+        "objectness_logits": _conv_block(sd, rh + "objectness_logits"),
+        "anchor_deltas": _conv_block(sd, rh + "anchor_deltas"),
+    }
+
+    # ---- box head (fc1 needs NCHW->NHWC input reordering) ------------------
+    C = box_head_channels
+    w1 = sd["roi_heads.box_head.fc1.weight"]  # (1024, C*49)
+    w1 = w1.reshape(-1, C, 7, 7).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+    p["box_head"] = {
+        "fc1": {"kernel": _dense(w1), "bias": sd["roi_heads.box_head.fc1.bias"]},
+        "fc2": _dense_block(sd, "roi_heads.box_head.fc2"),
+    }
+    p["box_predictor"] = {
+        "cls_score": _dense_block(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": _dense_block(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+
+    # ---- mask head ---------------------------------------------------------
+    mh = "roi_heads.mask_head."
+    mask = {}
+    for i in range(1, 5):
+        mask[f"mask_fcn{i}"] = _conv_block(sd, mh + f"mask_fcn{i}")
+    mask["deconv"] = {
+        "kernel": _deconv(sd[mh + "deconv.weight"]),
+        "bias": sd[mh + "deconv.bias"],
+    }
+    mask["predictor"] = _conv_block(sd, mh + "predictor")
+    p["mask_head"] = mask
+
+    # ---- discriminator -----------------------------------------------------
+    if "D_img.conv1.weight" in sd:
+        p["D_img"] = {
+            "conv1": _conv_block(sd, "D_img.conv1"),
+            "conv2": _conv_block(sd, "D_img.conv2"),
+            "classifier": _conv_block(sd, "D_img.classifier"),
+        }
+
+    # ---- graph matching modules -------------------------------------------
+    if "multi_matching_sup.U" in sd:
+        p["U"] = sd["multi_matching_sup.U"]
+        p["multi_matching_sup"] = {
+            "Net_U": {"g_gene": _mha_block(sd, "multi_matching_sup.Net_U.g_gene")}
+        }
+    if "multi_matching_unsup.node_affinity.project_sr.weight" in sd:
+        p["multi_matching_unsup"] = {
+            "node_affinity": _affinity_block(sd, "multi_matching_unsup.node_affinity"),
+            "intra_domain_graph": _mha_block(sd, "multi_matching_unsup.intra_domain_graph"),
+        }
+    return p
+
+
+def load_reference_checkpoint(path: str, *, num_classes: int = 2,
+                              prefer: str = "modelTeacher") -> dict:
+    """Load a reference ``.pth`` (or d2 ``.pkl``) checkpoint and convert.
+    Ensemble checkpoints (``EnsembleTSModel``) use ``prefer`` (the reference
+    evaluates the teacher unless ``TEST.EVAL_STU``)."""
+    import pickle
+
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        sd = data.get("model", data)
+    else:
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        sd = data.get("model", data)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    member = None
+    if any(k.startswith("modelTeacher.") for k in sd):
+        member = prefer
+    return convert_d2_state_dict(sd, num_classes=num_classes, member=member)

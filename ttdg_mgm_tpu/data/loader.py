@@ -1,0 +1,226 @@
+"""Static-shape batching: records -> fixed-size device batches.
+
+Capability of reference ``adapteacher/data/build.py`` (rows 26-28,
+SURVEY.md): supervised train loader, test loader with TTT batching
+(``TEST.BATCH`` images per batch while adapting, 1 otherwise,
+``build.py:141-146``), two-crop (weak/strong) semi-supervised loader.
+
+TPU-first: the ragged list-of-dicts the reference feeds its model becomes a
+dict of padded arrays —
+
+* ``image (B, S, S, 3)`` float32 RGB on a square canvas (divisible by 32),
+* ``image_sizes (B, 2)`` valid (h, w),
+* GT padded to ``gt_cap`` with validity, masks rasterized once per sample on
+  a ``(mask_res, mask_res)`` canvas aligned to the padded image.
+
+Square-canvas note: d2 pads each batch to its max size; a fixed canvas keeps
+XLA shapes static across batches (no recompiles).  Images are resized
+shortest-edge-``min_size`` and, if still larger than the canvas, scaled to
+fit (identical to d2 for near-square medical images).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from ttdg_mgm_tpu.data.catalog import DatasetCatalog
+from ttdg_mgm_tpu.data.transforms import (
+    build_strong_augmentation,
+    hflip,
+    resize_shortest_edge,
+    scale_annotations,
+)
+from ttdg_mgm_tpu.utils.rle import polygons_to_mask, segmentation_to_mask
+
+
+def load_image(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def prepare_sample(record: dict, *, canvas: int = 800, min_size: int = 800,
+                   max_size: int = 1333, flip: bool = False,
+                   image: np.ndarray | None = None) -> dict:
+    """Load + resize (+flip) one record; annotations follow the geometry."""
+    img = image if image is not None else load_image(record["file_name"])
+    boxes = np.asarray([a["bbox"] for a in record["annotations"]], np.float32)
+    boxes = boxes.reshape(-1, 4)
+    classes = np.asarray(
+        [a["category_id"] for a in record["annotations"]], np.int32
+    )
+    polys = [a.get("segmentation") for a in record["annotations"]]
+
+    img, (sy, sx) = resize_shortest_edge(img, min_size, max_size)
+    boxes, polys = scale_annotations(boxes, polys, sy, sx)
+    # fit to canvas
+    h, w = img.shape[:2]
+    if max(h, w) > canvas:
+        s = canvas / max(h, w)
+        img, _ = resize_shortest_edge(img, int(round(min(h, w) * s)), canvas)
+        boxes, polys = scale_annotations(
+            boxes, polys, img.shape[0] / h, img.shape[1] / w
+        )
+    if flip:
+        img, boxes, polys = hflip(img, boxes, polys)
+    return {
+        "image": img,
+        "boxes": boxes,
+        "classes": classes,
+        "polygons": polys,
+        "segmentations": [a.get("segmentation") for a in record["annotations"]],
+        "image_id": record["image_id"],
+        "orig_height": record["height"],
+        "orig_width": record["width"],
+        "scale": (img.shape[0] / record["height"], img.shape[1] / record["width"]),
+        "flipped": flip,
+    }
+
+
+def pack_batch(samples: list[dict], *, canvas: int = 800, gt_cap: int = 20,
+               mask_res: int = 256, with_gt: bool = True) -> dict:
+    """Stack prepared samples into one fixed-shape batch dict."""
+    B = len(samples)
+    image = np.zeros((B, canvas, canvas, 3), np.float32)
+    sizes = np.zeros((B, 2), np.float32)
+    out = {"image": image, "image_sizes": sizes}
+    if with_gt:
+        gt_boxes = np.zeros((B, gt_cap, 4), np.float32)
+        gt_classes = np.zeros((B, gt_cap), np.int32)
+        gt_valid = np.zeros((B, gt_cap), bool)
+        gt_masks = np.zeros((B, gt_cap, mask_res, mask_res), np.uint8)
+        out.update(gt_boxes=gt_boxes, gt_classes=gt_classes, gt_valid=gt_valid,
+                   gt_masks=gt_masks)
+
+    mscale = mask_res / canvas
+    for b, s in enumerate(samples):
+        h, w = s["image"].shape[:2]
+        image[b, :h, :w] = s["image"]
+        sizes[b] = (h, w)
+        if not with_gt:
+            continue
+        n = min(len(s["boxes"]), gt_cap)
+        if n:
+            gt_boxes[b, :n] = s["boxes"][:n]
+            gt_classes[b, :n] = s["classes"][:n]
+            gt_valid[b, :n] = True
+            for k in range(n):
+                segs = s["polygons"][k]
+                if not segs:
+                    continue
+                if isinstance(segs, dict):
+                    full = segmentation_to_mask(segs, s["orig_height"], s["orig_width"])
+                    m = np.asarray(
+                        Image.fromarray(full * 255).resize(
+                            (int(round(w * mscale)), int(round(h * mscale))),
+                            Image.BILINEAR,
+                        )
+                    ) > 127
+                    gt_masks[b, k, : m.shape[0], : m.shape[1]] = m
+                else:
+                    scaled = [
+                        (np.asarray(p, np.float64) * mscale).tolist() for p in segs
+                    ]
+                    gt_masks[b, k] = polygons_to_mask(scaled, mask_res, mask_res)
+    return out
+
+
+def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
+                       min_size: int = 800, max_size: int = 1333,
+                       gt_cap: int = 20, mask_res: int = 256, seed: int = 0,
+                       flip_prob: float = 0.5):
+    """Infinite shuffled supervised loader (reference ``build.py:65-118``)."""
+    records = []
+    for name in dataset_names:
+        records.extend(DatasetCatalog.get(name))
+    rng = np.random.RandomState(seed)
+
+    def gen():
+        while True:
+            idx = rng.permutation(len(records))
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                samples = [
+                    prepare_sample(
+                        records[i], canvas=canvas, min_size=min_size,
+                        max_size=max_size, flip=rng.rand() < flip_prob,
+                    )
+                    for i in idx[start:start + batch_size]
+                ]
+                yield pack_batch(samples, canvas=canvas, gt_cap=gt_cap,
+                                 mask_res=mask_res)
+
+    return gen()
+
+
+def build_test_loader(dataset_name: str, *, batch_size: int = 1,
+                      canvas: int = 800, min_size: int = 800,
+                      max_size: int = 1333):
+    """Sequential test loader; ``batch_size = TEST.BATCH`` while adapting
+    (reference ``build.py:141-146``), else 1.  Yields (batch, metas); the
+    last partial batch repeats its final sample to keep shapes static
+    (metas carry the true count)."""
+    records = DatasetCatalog.get(dataset_name)
+
+    def gen():
+        for start in range(0, len(records), batch_size):
+            chunk = records[start:start + batch_size]
+            n_real = len(chunk)
+            while len(chunk) < batch_size:
+                chunk = chunk + [chunk[-1]]
+            samples = [
+                prepare_sample(r, canvas=canvas, min_size=min_size,
+                               max_size=max_size)
+                for r in chunk
+            ]
+            batch = pack_batch(samples, canvas=canvas, with_gt=False)
+            metas = [dict(s, n_real=n_real) for s in samples]
+            yield batch, metas
+
+    return gen()
+
+
+def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
+                          canvas: int = 800, min_size: int = 800,
+                          max_size: int = 1333, gt_cap: int = 20,
+                          mask_res: int = 256, seed: int = 0):
+    """Two-crop semi-supervised loader (reference ``build.py:158-228`` +
+    ``DatasetMapperTwoCropSeparate``): weak and strong views share geometry;
+    yields the 4-tuple batch dict for the mean-teacher step."""
+    label_records = []
+    for n in label_names:
+        label_records.extend(DatasetCatalog.get(n))
+    unlabel_records = []
+    for n in unlabel_names:
+        unlabel_records.extend(DatasetCatalog.get(n))
+    rng = np.random.RandomState(seed)
+    strong_aug = build_strong_augmentation(seed)
+
+    def two_views(record):
+        flip = rng.rand() < 0.5
+        weak = prepare_sample(record, canvas=canvas, min_size=min_size,
+                              max_size=max_size, flip=flip)
+        strong = dict(weak)
+        strong["image"] = strong_aug(weak["image"])
+        return weak, strong
+
+    def gen():
+        while True:
+            li = rng.permutation(len(label_records))[:batch_size]
+            ui = rng.permutation(len(unlabel_records))[:batch_size]
+            lw, ls = zip(*(two_views(label_records[i]) for i in li))
+            uw, us = zip(*(two_views(unlabel_records[i]) for i in ui))
+            lw_b = pack_batch(list(lw), canvas=canvas, gt_cap=gt_cap,
+                              mask_res=mask_res)
+            ls_b = pack_batch(list(ls), canvas=canvas, gt_cap=gt_cap,
+                              mask_res=mask_res)
+            uw_b = pack_batch(list(uw), canvas=canvas, with_gt=False)
+            us_b = pack_batch(list(us), canvas=canvas, with_gt=False)
+            yield {
+                "label_strong": ls_b["image"], "label_weak": lw_b["image"],
+                "label_sizes": ls_b["image_sizes"],
+                "gt_boxes": ls_b["gt_boxes"], "gt_classes": ls_b["gt_classes"],
+                "gt_masks": ls_b["gt_masks"], "gt_valid": ls_b["gt_valid"],
+                "unlabel_strong": us_b["image"], "unlabel_weak": uw_b["image"],
+                "unlabel_sizes": us_b["image_sizes"],
+            }
+
+    return gen()

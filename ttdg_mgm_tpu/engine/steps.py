@@ -1,0 +1,170 @@
+"""Jitted training / adaptation steps.
+
+The reference runs ~6 separate CUDA launches + CPU Hungarian round trips per
+TTA batch (SURVEY.md section 3.1); here each step — forward, node sampling,
+multi-graph matching, backward, SGD update — is ONE donated-buffer XLA
+program (SURVEY.md section 7.1), so adaptation runs at inference speed.
+
+Step builders take the model + optax transform and return jitted functions
+over a ``TrainState``; all are mesh-polymorphic (shard the batch, replicate
+the state, and XLA inserts the gradient ``psum``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_source_step(model, tx, *, loss_weight: float = 1.0) -> Callable:
+    """Supervised source-training step (reference ``BaselineTrainer.run_step``,
+    ``trainer.py:283-313``): det losses + universe matching, summed, one SGD
+    update."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, batch["image"], batch["image_sizes"],
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_masks"],
+                batch["gt_valid"], rng, method=model.loss_supervised,
+            )
+            total = sum(losses.values()) * loss_weight
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["total_loss"] = total
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return step
+
+
+def make_tta_step(model, tx) -> Callable:
+    """Test-time-adaptation step (reference ``BaselineTrainer.test`` TTA loop,
+    ``trainer.py:469-482``): one SGD step on the unsupervised multi-graph
+    matching loss per test batch, donated buffers."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            return model.apply(
+                {"params": params}, batch["image"], batch["image_sizes"],
+                method=model.loss_ttt,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    return step
+
+
+@jax.jit
+def ema_update(teacher_params, student_params, keep_rate: jnp.ndarray):
+    """EMA teacher update (reference ``_update_teacher_model``,
+    ``trainer.py:1001-1020``): ``t = t * keep + s * (1 - keep)``."""
+    return jax.tree.map(
+        lambda t, s: t * keep_rate + s * (1.0 - keep_rate),
+        teacher_params, student_params,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "max_boxes"))
+def threshold_pseudo_labels(detections, *, threshold: float = 0.8,
+                            max_boxes: int | None = None):
+    """Pseudo-label thresholding (reference ``threshold_bbox``,
+    ``trainer.py:700-733``): keep detections with score > threshold as GT."""
+    valid = detections["valid"] & (detections["scores"] > threshold)
+    boxes = jnp.where(valid[..., None], detections["boxes"], 0.0)
+    classes = jnp.where(valid, detections["classes"], 0)
+    if max_boxes is not None:
+        boxes = boxes[:, :max_boxes]
+        classes = classes[:, :max_boxes]
+        valid = valid[:, :max_boxes]
+    return boxes, classes.astype(jnp.int32), valid
+
+
+def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.1,
+                 pseudo_threshold: float = 0.8, gt_cap: int = 20) -> Callable:
+    """Mean-teacher semi-supervised step — the *intended* semantics of the
+    reference's ``run_step_full_semisup`` (``trainer.py:782-961``),
+    implemented correctly where the snapshot is broken (SURVEY.md section 0):
+
+    - teacher pseudo-labels weak unlabeled crops (threshold 0.8),
+    - student: supervised loss on labeled data + pseudo-supervised loss on
+      strong unlabeled crops (pseudo box-regression weighted 0, reference
+      ``:932-953``) + GRL domain loss on weak crops,
+    - one SGD update; the EMA teacher update is a separate call
+      (``ema_update``) as in the reference's update-every-iter hook.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, teacher_params, batch, rng):
+        teacher_det = model.apply(
+            {"params": teacher_params}, batch["unlabel_weak"],
+            batch["unlabel_sizes"], method=model.proposals_weak,
+        )
+        p_boxes, p_classes, p_valid = threshold_pseudo_labels(
+            teacher_det, threshold=pseudo_threshold, max_boxes=gt_cap,
+        )
+
+        rng_sup, rng_unsup = jax.random.split(rng)
+
+        def loss_fn(params):
+            sup = model.apply(
+                {"params": params}, batch["label_strong"], batch["label_sizes"],
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_masks"],
+                batch["gt_valid"], rng_sup, method=model.loss_supervised,
+            )
+            unsup = model.apply(
+                {"params": params}, batch["unlabel_strong"],
+                batch["unlabel_sizes"], p_boxes, p_classes,
+                jnp.zeros_like(batch["gt_masks"][:, : p_boxes.shape[1]]),
+                p_valid, rng_unsup, method=model.loss_supervised,
+                source=False, with_mask=False,
+            )
+            dom = model.apply(
+                {"params": params}, batch["label_weak"], batch["unlabel_weak"],
+                method=model.loss_domain,
+            )
+            # pseudo box-regression losses are weighted 0 (reference :932-953)
+            total = (
+                sum(sup.values())
+                + (unsup["loss_cls"] + unsup["loss_rpn_cls"]) * unsup_weight
+                + (dom["loss_D_img_s"] + dom["loss_D_img_t"]) * dis_weight
+            )
+            aux = dict(sup)
+            aux.update({k + "_pseudo": v for k, v in unsup.items()})
+            aux.update(dom)
+            return total, aux
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["total_loss"] = total
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), aux
+
+    return step

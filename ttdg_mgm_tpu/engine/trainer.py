@@ -1,0 +1,211 @@
+"""Trainers: supervised source training and the eval-only TTA loop.
+
+Capability of reference ``BaselineTrainer``
+(``adapteacher/engine/trainer.py:197-542``):
+
+* ``train``: supervised loop (det + universe-matching losses, one SGD step
+  per batch) with periodic checkpointing/eval hooks,
+* ``test``: THE flagship path (SURVEY.md section 3.1) — per test dataset, a
+  TTA loop (one SGD step on the MGM loss per batch of ``TEST.BATCH``, capped
+  by ``TEST.MIN_BATCH_NUM``) followed by Dice/E/S evaluation, with per-family
+  aggregation (``trainer.py:509-527``: datasets grouped by name prefix).
+  Adaptation state persists across datasets within one run, exactly like the
+  reference's in-place model mutation; ``reset_between_datasets`` opts out.
+
+The per-batch device work is one donated-buffer jitted step (engine.steps);
+this class is the host-side orchestration only.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttdg_mgm_tpu.data.catalog import DatasetCatalog
+from ttdg_mgm_tpu.data.loader import build_test_loader, build_train_loader
+from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step, make_tta_step
+from ttdg_mgm_tpu.evaluation.dice import DiceEvaluator
+from ttdg_mgm_tpu.utils.native import paste_masks_native
+from ttdg_mgm_tpu.utils.rle import segmentation_to_mask
+
+logger = logging.getLogger("ttdg_mgm_tpu")
+
+
+def postprocess_detections(det: dict, meta: dict, b: int, *, mask_threshold=0.5,
+                           score_floor: float = 0.0):
+    """Rescale detections of image ``b`` to original size + paste masks
+    (host-side; d2 ``detector_postprocess`` equivalent)."""
+    sy, sx = meta["scale"]
+    valid = np.asarray(det["valid"][b])
+    boxes = np.asarray(det["boxes"][b])[valid]
+    scores = np.asarray(det["scores"][b])[valid]
+    classes = np.asarray(det["classes"][b])[valid]
+    probs = np.asarray(det["mask_probs"][b])[valid]
+    keep = scores >= score_floor
+    boxes, scores, classes, probs = boxes[keep], scores[keep], classes[keep], probs[keep]
+    oh, ow = meta["orig_height"], meta["orig_width"]
+    boxes = boxes / np.array([sx, sy, sx, sy], np.float32)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
+    masks = paste_masks_native(probs, boxes, oh, ow, threshold=mask_threshold)
+    return {"boxes": boxes, "scores": scores, "classes": classes, "masks": masks}
+
+
+def evaluate_dataset(model, params, dataset_name: str, *, canvas: int = 800,
+                     min_size: int = 800, max_size: int = 1333,
+                     batch_size: int = 1, dice_threshold: float = 0.9,
+                     log_every: int = 50) -> dict:
+    """Inference + Dice/E/S over one dataset (reference
+    ``inference_on_dataset``, ``trainer.py:1230-1360``, incl. the s/iter
+    breakdown log format parsed by grep)."""
+    loader = build_test_loader(dataset_name, batch_size=batch_size,
+                               canvas=canvas, min_size=min_size, max_size=max_size)
+    evaluator = DiceEvaluator(dataset_name, dice_threshold)
+
+    @jax.jit
+    def infer(p, image, sizes):
+        return model.apply({"params": p}, image, sizes,
+                           method=model.forward_inference)
+
+    n_img = 0
+    t_data = t_compute = t_eval = 0.0
+    t0 = time.perf_counter()
+    for batch, metas in loader:
+        t_data += time.perf_counter() - t0
+        t1 = time.perf_counter()
+        det = infer(params, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["image_sizes"]))
+        det = jax.tree.map(np.asarray, det)
+        t_compute += time.perf_counter() - t1
+        t2 = time.perf_counter()
+        for b, meta in enumerate(metas[: metas[0]["n_real"]]):
+            out = postprocess_detections(det, meta, b)
+            record = next(
+                r for r in DatasetCatalog.get(dataset_name)
+                if r["image_id"] == meta["image_id"]
+            )
+            gt_masks = [
+                segmentation_to_mask(a["segmentation"], record["height"],
+                                     record["width"])
+                for a in record["annotations"]
+            ]
+            gt_classes = [a["category_id"] for a in record["annotations"]]
+            evaluator.process(out["masks"], out["classes"], out["scores"],
+                              gt_masks, gt_classes)
+            n_img += 1
+        t_eval += time.perf_counter() - t2
+        if n_img % log_every < batch_size:
+            tot = max(n_img, 1)
+            logger.info(
+                "Inference done %d img. Dataloading: %.4f s/iter. Inference: "
+                "%.4f s/iter. Eval: %.4f s/iter.",
+                n_img, t_data / tot, t_compute / tot, t_eval / tot,
+            )
+        t0 = time.perf_counter()
+    logger.info(
+        "Total inference time: %.4fs (%.6f s / iter per device)",
+        t_data + t_compute + t_eval, t_compute / max(n_img, 1),
+    )
+    return evaluator.evaluate()
+
+
+def aggregate_family_means(results: dict) -> dict:
+    """Per-family averaging (reference ``trainer.py:509-527``): group by the
+    dataset-name prefix before the first '_'."""
+    fam = defaultdict(lambda: defaultdict(list))
+    for name, res in results.items():
+        if name.endswith("_mean"):
+            continue
+        d = name.split("_")[0]
+        for metric, value in res.items():
+            fam[d][metric].append(value)
+    out = dict(results)
+    for d, metrics in fam.items():
+        out[f"{d}_mean"] = {
+            m: float(np.mean(vs)) for m, vs in metrics.items()
+        }
+    return out
+
+
+class BaselineTrainer:
+    """Supervised source training + eval-only TTA (reference rows 3a)."""
+
+    def __init__(self, model, tx, params, *, canvas: int = 800,
+                 min_size: int = 800, max_size: int = 1333,
+                 gt_cap: int = 20, mask_res: int = 256):
+        self.model = model
+        self.tx = tx
+        self.state = TrainState.create(params, tx)
+        self.canvas = canvas
+        self.min_size = min_size
+        self.max_size = max_size
+        self.gt_cap = gt_cap
+        self.mask_res = mask_res
+        self._source_step = make_source_step(model, tx)
+        self._tta_step = make_tta_step(model, tx)
+        self.last_tta_loss = 0.0
+
+    def train(self, dataset_names, *, max_iter: int, batch_size: int = 8,
+              seed: int = 0, log_every: int = 20, hooks=()):
+        loader = build_train_loader(
+            dataset_names, batch_size=batch_size, canvas=self.canvas,
+            min_size=self.min_size, max_size=self.max_size,
+            gt_cap=self.gt_cap, mask_res=self.mask_res, seed=seed,
+        )
+        rng = jax.random.PRNGKey(seed)
+        for it in range(int(self.state.step), max_iter):
+            batch = next(loader)
+            rng, sub = jax.random.split(rng)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = self._source_step(self.state, batch, sub)
+            if it % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.info("iter %d: %s", it, {k: round(v, 4) for k, v in m.items()})
+                for h in hooks:
+                    h(it, m)
+        return self.state
+
+    def test(self, dataset_names, *, ttt: bool = True, tta_batch: int = 4,
+             min_batch_num: int | None = None, dice_threshold: float = 0.9,
+             reset_between_datasets: bool = False) -> dict:
+        """Eval-only TTA over the test datasets (reference ``test``,
+        ``trainer.py:431-529``)."""
+        results = {}
+        # TTA steps donate the state buffers; keep an un-donatable snapshot
+        # only when each dataset must restart from the source weights.
+        source_state = (
+            jax.tree.map(jnp.copy, self.state) if reset_between_datasets else None
+        )
+        state = self.state
+        for name in dataset_names:
+            if reset_between_datasets:
+                state = jax.tree.map(jnp.copy, source_state)
+            if ttt:
+                loader = build_test_loader(
+                    name, batch_size=tta_batch, canvas=self.canvas,
+                    min_size=self.min_size, max_size=self.max_size,
+                )
+                loss = None
+                for idx, (batch, metas) in enumerate(loader):
+                    if min_batch_num is not None and idx >= min_batch_num:
+                        break
+                    dev = {"image": jnp.asarray(batch["image"]),
+                           "image_sizes": jnp.asarray(batch["image_sizes"])}
+                    state, loss = self._tta_step(state, dev)
+                if loss is not None:
+                    self.last_tta_loss = float(loss)
+                    logger.info("TTA on %s: final loss %.5f", name, float(loss))
+            results[name] = evaluate_dataset(
+                self.model, state.params, name, canvas=self.canvas,
+                min_size=self.min_size, max_size=self.max_size,
+                batch_size=tta_batch if ttt else 1,
+                dice_threshold=dice_threshold,
+            )
+            logger.info("Results %s: %s", name, results[name])
+        self.state = state
+        return aggregate_family_means(results)

@@ -78,13 +78,19 @@ def hippi(W, U0, ms, n_univ: int, *, max_iter: int = 50, sk_iter: int = 20,
         i, U, _ = state
         WU = W @ U
         V = WU @ (U.T @ WU)
+        # scale guard: the universe path feeds W with the reference's 1e8
+        # adjacency scale (G_Universe cos_similarity quirk) and the cubic
+        # power step overflows float32; max-normalizing V only rescales the
+        # (already near-hard, tau=1/200) projection temperature, leaving the
+        # ranking - and thus the fixed point - unchanged.
+        V = V / jnp.maximum(jnp.max(jnp.abs(V)), 1e-30)
         U_new = _project_blocks(
             V.reshape(G, M, n_univ), ms, n_univ, tau=sk_tau, sk_iter=sk_iter,
             use_hungarian=False,
         ).reshape(T, n_univ)
         return i + 1, U_new, _fro(U_new - U)
 
-    _, U, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), U0, jnp.float32(jnp.inf)))
+    _, U, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), U0, jnp.float32(1e30)))
     return U
 
 

@@ -31,9 +31,14 @@ class GUniverse(nn.Module):
     Mirrors reference ``G_Universe`` (``multi_graph_matching.py:77-116``),
     including its ``cos_similarity`` quirk: the reference computes
     ``1 - sum(n*n)/||n||^2`` per node, which is identically zero, so the
-    adjacency is the attention matrix scaled by ``1/(0 + 1e-8) = 1e8``
-    (broadcast per-row).  Reproduced verbatim for numerical parity — the
-    scale cancels inside the log-domain Sinkhorn projections downstream.
+    adjacency is the attention matrix scaled by ``1/(0 + 1e-8) = 1e8``.
+    The scale is applied as the explicit constant rather than via the
+    ``x/x`` expression: under whole-program XLA fusion the division is
+    rewritten to ``x * (1/x)`` which can land one ulp above 1, making
+    ``d + 1e-8`` exactly zero and the quirk an inf factory (observed on
+    XLA:CPU with ``--xla_force_host_platform_device_count``).  The constant
+    is the quirk's only effect, and it cancels inside the downstream
+    log-domain Sinkhorn projections anyway (see ``solvers.hippi``).
     """
 
     dim: int = 256
@@ -44,10 +49,8 @@ class GUniverse(nn.Module):
         node, edge = MultiHeadAttention(self.dim, 1, dropout=0.1, name="g_gene")(
             nodes, mask
         )
-        norms_sq = jnp.sum(jnp.square(node), axis=-1, keepdims=True)
-        d = 1.0 - norms_sq / jnp.maximum(norms_sq, 1e-20)  # == 0 (reference quirk)
-        d_inv = 1.0 / (d + 1e-8)
-        edge_d = edge * d_inv  # broadcast (..., M, 1) over columns
+        d_inv = 1.0e8  # == 1 / (cos_similarity quirk + 1e-8), see docstring
+        edge_d = edge * d_inv
         scores = jnp.einsum("...md,ud->...mu", node, U)
         if mask is not None:
             scores = jnp.where(mask[..., None], scores, 0.0)

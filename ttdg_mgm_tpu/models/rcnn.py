@@ -129,28 +129,32 @@ class MaskRCNN(nn.Module):
         )
         return (logits, regs, anchors), (boxes, scores, valid)
 
-    def _box_inference(self, feats, prop_boxes, prop_valid, image_sizes):
-        """Per-image fast-rcnn inference -> top detections (B, D, ...)."""
-        B = prop_boxes.shape[0]
+    def _pool(self, feats, boxes, output_size: int):
+        """Batched multi-level ROIAlign: boxes (B, K, 4) -> (B, K, P, P, C).
+        The pooler is a pure function, so a plain vmap keeps the traced
+        graph size independent of B (no Python unrolling)."""
         pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+        return jax.vmap(
+            lambda fs, b: multilevel_roi_align(fs, b, output_size=output_size)
+        )(pool_feats, boxes)
 
-        def per_image(args):
-            fs, boxes, valid, hw = args
-            pooled = multilevel_roi_align(fs, boxes, output_size=7)
-            x = self.box_head(pooled)
-            scores, deltas = self.box_predictor(x)
-            return roi_box_inference(
-                scores, deltas, boxes, valid, hw,
-                num_classes=self.num_classes,
+    def _box_inference(self, feats, prop_boxes, prop_valid, image_sizes):
+        """Fast-rcnn inference -> top detections (B, D, ...); flax heads run
+        on the flattened (B*K) roi batch, per-image NMS is vmapped."""
+        B, K = prop_boxes.shape[:2]
+        pooled = self._pool(feats, prop_boxes, 7)
+        x = self.box_head(pooled.reshape(B * K, *pooled.shape[2:]))
+        scores, deltas = self.box_predictor(x)
+        infer = jax.vmap(
+            lambda s, d, b, v, hw: roi_box_inference(
+                s, d, b, v, hw, num_classes=self.num_classes,
                 topk=self.detections_per_image,
             )
-
-        outs = [
-            per_image(([f[b] for f in pool_feats], prop_boxes[b], prop_valid[b],
-                       image_sizes[b]))
-            for b in range(B)
-        ]
-        return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
+        )
+        return infer(
+            scores.reshape(B, K, -1), deltas.reshape(B, K, -1), prop_boxes,
+            prop_valid, image_sizes,
+        )
 
     # -- branches ------------------------------------------------------------
 
@@ -166,22 +170,14 @@ class MaskRCNN(nn.Module):
             feats, pboxes, pvalid, image_sizes
         )
         B, D = scores.shape
-        pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
-
-        def mask_per_image(args):
-            fs, bx, cl = args
-            pooled = multilevel_roi_align(fs, bx, output_size=14)
-            logits = self.mask_head(pooled)  # (D, 28, 28, C)
-            sel = jnp.take_along_axis(
-                logits, jnp.clip(cl, 0, self.num_classes - 1)[:, None, None, None],
-                axis=3,
-            )[..., 0]
-            return jax.nn.sigmoid(sel)
-
-        mask_probs = jnp.stack([
-            mask_per_image(([f[b] for f in pool_feats], boxes[b], classes[b]))
-            for b in range(B)
-        ])
+        pooled = self._pool(feats, boxes, 14)
+        logits = self.mask_head(pooled.reshape(B * D, *pooled.shape[2:]))
+        logits = logits.reshape(B, D, *logits.shape[1:])  # (B, D, 28, 28, C)
+        cls_idx = jnp.clip(classes, 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(
+            logits, cls_idx[:, :, None, None, None], axis=4
+        )[..., 0]
+        mask_probs = jax.nn.sigmoid(sel)
         return {
             "boxes": boxes, "scores": scores, "classes": classes, "valid": valid,
             "mask_probs": mask_probs,
@@ -216,7 +212,7 @@ class MaskRCNN(nn.Module):
 
     def loss_supervised(
         self, images, image_sizes, gt_boxes, gt_classes, gt_masks, gt_valid, rng,
-        *, source: bool = True,
+        *, source: bool = True, with_mask: bool = True, append_gt: bool = True,
     ):
         """``supervised_source`` / ``supervised_target`` branches
         (reference ``rcnn.py:229-303``): RPN + ROI + mask losses, plus
@@ -229,52 +225,56 @@ class MaskRCNN(nn.Module):
         losses = rpn_losses(logits, regs, anchors, gt_boxes, gt_valid, rng_rpn)
 
         B = images.shape[0]
-        pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+        S = self.batch_size_per_image
         keys = jax.random.split(rng_roi, B)
 
-        cls_sum = box_sum = 0.0
-        mask_sum = jnp.float32(0.0)
-        mask_cnt = jnp.float32(0.0)
-        n_per_img = self.batch_size_per_image
-        for b in range(B):
-            sb, sc, sm, sfg, sv = label_and_sample_proposals(
-                pboxes[b], pvalid[b], gt_boxes[b], gt_classes[b], gt_valid[b],
-                keys[b], num_classes=self.num_classes,
-                batch_size_per_image=n_per_img,
+        # proposal labeling + sampling: pure per-image fn, vmapped over B
+        sb, sc, sm, sfg, sv = jax.vmap(
+            lambda pb, pv, gb, gc, gv, k: label_and_sample_proposals(
+                pb, pv, gb, gc, gv, k, num_classes=self.num_classes,
+                batch_size_per_image=S, append_gt=append_gt,
             )
-            fs = [f[b] for f in pool_feats]
-            pooled = multilevel_roi_align(fs, sb, output_size=7)
-            x = self.box_head(pooled)
-            scores, deltas = self.box_predictor(x)
-            det = fast_rcnn_losses(
-                scores, deltas, sb, gt_boxes[b][sm], sc, sfg, sv,
-                num_classes=self.num_classes, cls_loss_type=self.cls_loss_type,
-            )
-            cls_sum = cls_sum + det["loss_cls"]
-            box_sum = box_sum + det["loss_box_reg"]
+        )(pboxes, pvalid, gt_boxes, gt_classes, gt_valid, keys)
 
-            # mask head on fg proposals compacted to a static cap
-            order = jnp.cumsum(sfg.astype(jnp.int32)) - 1
+        pooled = self._pool(feats, sb, 7)
+        x = self.box_head(pooled.reshape(B * S, *pooled.shape[2:]))
+        scores, deltas = self.box_predictor(x)
+        matched_gt_boxes = jax.vmap(lambda g, m: g[m])(gt_boxes, sm)
+        det = jax.vmap(
+            lambda s, d, b, g, c, f, v: fast_rcnn_losses(
+                s, d, b, g, c, f, v, num_classes=self.num_classes,
+                cls_loss_type=self.cls_loss_type,
+            )
+        )(scores.reshape(B, S, -1), deltas.reshape(B, S, -1), sb,
+          matched_gt_boxes, sc, sfg, sv)
+        losses["loss_cls"] = jnp.mean(det["loss_cls"])
+        losses["loss_box_reg"] = jnp.mean(det["loss_box_reg"])
+
+        if with_mask:
             cap = self.mask_fg_cap
-            slot = jnp.where(sfg & (order < cap), order, cap)
-            fg_boxes = jnp.zeros((cap + 1, 4)).at[slot].set(sb)[:cap]
-            fg_cls = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(sc)[:cap]
-            fg_matched = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(sm)[:cap]
-            n_fg = jnp.minimum(jnp.sum(sfg.astype(jnp.int32)), cap)
-            fg_mask = jnp.arange(cap) < n_fg
-            pooled_m = multilevel_roi_align(fs, fg_boxes, output_size=14)
-            mlogits = self.mask_head(pooled_m)
+
+            def compact_fg(boxes, cls, matched, fg):
+                order = jnp.cumsum(fg.astype(jnp.int32)) - 1
+                slot = jnp.where(fg & (order < cap), order, cap)
+                fb = jnp.zeros((cap + 1, 4)).at[slot].set(boxes)[:cap]
+                fc = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(cls)[:cap]
+                fm = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(matched)[:cap]
+                n_fg = jnp.minimum(jnp.sum(fg.astype(jnp.int32)), cap)
+                return fb, fc, fm, jnp.arange(cap) < n_fg, n_fg
+
+            fg_boxes, fg_cls, fg_matched, fg_mask, n_fg = jax.vmap(compact_fg)(
+                sb, sc, sm, sfg
+            )
+            pooled_m = self._pool(feats, fg_boxes, 14)
+            mlogits = self.mask_head(pooled_m.reshape(B * cap, *pooled_m.shape[2:]))
+            mlogits = mlogits.reshape(B, cap, *mlogits.shape[1:])
             # GT masks live on a (mask_res, mask_res) canvas of the padded image
             mres = gt_masks.shape[-1]
             scale = mres / images.shape[1]
-            m28 = crop_gt_masks(gt_masks[b], fg_matched, fg_boxes * scale)
-            per_fg_bce = mask_loss(mlogits, fg_cls, m28, fg_mask)
-            mask_sum = mask_sum + per_fg_bce * jnp.maximum(n_fg.astype(jnp.float32), 1.0)
-            mask_cnt = mask_cnt + jnp.maximum(n_fg.astype(jnp.float32), 1.0)
-
-        losses["loss_cls"] = cls_sum / B
-        losses["loss_box_reg"] = box_sum / B
-        losses["loss_mask"] = mask_sum / jnp.maximum(mask_cnt, 1.0)
+            m28 = jax.vmap(crop_gt_masks)(gt_masks, fg_matched, fg_boxes * scale)
+            per_img = jax.vmap(mask_loss)(mlogits, fg_cls, m28, fg_mask)
+            w = jnp.maximum(n_fg.astype(jnp.float32), 1.0)
+            losses["loss_mask"] = jnp.sum(per_img * w) / jnp.sum(w)
 
         if source:
             nodes, labels, node_mask = self.graph_generator(

@@ -89,17 +89,21 @@ def label_and_sample_proposals(
     proposals, prop_valid, gt_boxes, gt_classes, gt_valid, key, *,
     num_classes: int, batch_size_per_image: int = 512,
     positive_fraction: float = 0.25, iou_thresh: float = 0.5,
+    append_gt: bool = True,
 ):
     """d2 ``label_and_sample_proposals`` for ONE image, static output
     ``batch_size_per_image`` rows.
 
-    Appends GT boxes to the proposal set (d2 PROPOSAL_APPEND_GT), matches at
-    IoU 0.5 (no low-quality), samples fg/bg by masked random ranking, and
+    Appends GT boxes to the proposal set (d2 PROPOSAL_APPEND_GT; the
+    reference's val-loss path disables it, ``roi_heads.py:85-91``), matches
+    at IoU 0.5 (no low-quality), samples fg/bg by masked random ranking, and
     returns ``(boxes (S, 4), classes (S,), matched_gt (S,), fg (S,),
     valid (S,))`` where classes == num_classes marks background.
     """
     boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
-    valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+    valid = jnp.concatenate(
+        [prop_valid, gt_valid if append_gt else jnp.zeros_like(gt_valid)], axis=0
+    )
     iou = pairwise_iou(boxes, gt_boxes)
     iou = jnp.where(gt_valid[None, :] & valid[:, None], iou, -1.0)
     best = jnp.max(iou, axis=1)
@@ -217,8 +221,8 @@ def roi_box_inference(scores, deltas, prop_boxes, prop_valid, image_size, *,
     )
     keep = batched_nms_mask(flat_boxes, flat_scores, flat_cls, flat_valid,
                             iou_threshold=nms_thresh)
-    top_s, idx = jax.lax.top_k(jnp.where(keep, flat_scores, -jnp.inf), topk)
-    v = jnp.isfinite(top_s)
+    top_s, idx = jax.lax.top_k(jnp.where(keep, flat_scores, -1.0e30), topk)
+    v = top_s > -1.0e29
     return (
         jnp.where(v[:, None], flat_boxes[idx], 0.0),
         jnp.where(v, top_s, 0.0),

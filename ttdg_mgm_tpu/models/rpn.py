@@ -95,11 +95,11 @@ def generate_proposals(logits, regs, anchors, image_sizes, *,
             valid = (ww > 0) & (hh > 0)
             keep = nms_mask(boxes, top_s, valid, iou_threshold=nms_thresh)
             cand_boxes.append(boxes)
-            cand_scores.append(jnp.where(keep, top_s, -jnp.inf))
+            cand_scores.append(jnp.where(keep, top_s, -1.0e30))
         all_boxes = jnp.concatenate(cand_boxes, 0)
         all_scores = jnp.concatenate(cand_scores, 0)
         top_s, idx = jax.lax.top_k(all_scores, post_nms_topk)
-        v = jnp.isfinite(top_s)
+        v = top_s > -1.0e29
         return (
             jnp.where(v[:, None], all_boxes[idx], 0.0),
             jnp.where(v, top_s, 0.0),

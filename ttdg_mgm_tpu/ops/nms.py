@@ -31,7 +31,7 @@ def nms_mask(boxes, scores, valid, *, iou_threshold: float = 0.5):
     ``IoU > iou_threshold``.
     """
     K = boxes.shape[0]
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    order = jnp.argsort(-jnp.where(valid, scores, -1.0e30))
     b = boxes[order]
     v = valid[order]
     iou = pairwise_iou(b, b)
@@ -60,8 +60,8 @@ def topk_after_nms(boxes, scores, keep, k: int):
 
     Returns ``(boxes (k, 4), scores (k,), indices (k,), valid (k,))``.
     """
-    masked = jnp.where(keep, scores, -jnp.inf)
+    masked = jnp.where(keep, scores, -1.0e30)
     top_scores, idx = jax.lax.top_k(masked, k)
-    out_valid = jnp.isfinite(top_scores)
+    out_valid = top_scores > -1.0e29
     out_boxes = jnp.where(out_valid[:, None], boxes[idx], 0.0)
     return out_boxes, jnp.where(out_valid, top_scores, 0.0), idx, out_valid

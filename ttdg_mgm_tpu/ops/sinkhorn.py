@@ -31,11 +31,19 @@ DUMMY_LOG_VALUE = -100.0  # pygmtools' fill value for dummy rows
 
 
 def _masked_logsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """logsumexp that returns NEG_INF (not NaN) for all-masked slices."""
+    """logsumexp that returns NEG_INF (not NaN) for all-masked slices.
+
+    No branch may produce +/-inf even when discarded by the ``where``: under
+    whole-program XLA fusion (jit of forward+backward+optimizer) the CPU
+    backend reorders the dead branch into live arithmetic and a ``log(0)``
+    -inf poisons the fused expression to NaN (observed with
+    ``--xla_force_host_platform_device_count``).  Clamping the sum keeps every
+    intermediate finite; the ``where`` still selects the sentinel.
+    """
     m = jnp.max(x, axis=axis, keepdims=True)
     m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
     s = jnp.sum(jnp.exp(x - m_safe), axis=axis, keepdims=True)
-    out = m_safe + jnp.log(s)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-38))
     return jnp.where(m > NEG_INF / 2, out, NEG_INF)
 
 
@@ -192,6 +200,32 @@ def sinkhorn_project(
     )
     out = jnp.where((nrows <= ncols)[..., None, None], fwd, bwd)
     return out[..., :n1, :n2]
+
+
+def gumbel_sinkhorn(
+    s: jnp.ndarray,
+    key,
+    nrows: jnp.ndarray | None = None,
+    ncols: jnp.ndarray | None = None,
+    *,
+    tau: float = 1.0,
+    max_iter: int = 10,
+    sample_num: int = 5,
+    dummy_row: bool = False,
+) -> jnp.ndarray:
+    """Gumbel-perturbed Sinkhorn sampling (reference
+    ``utils/sinkhorn.py:172-235`` ``GumbelSinkhorn``; unused in the active
+    path, kept for capability parity).  Returns ``sample_num`` stacked
+    doubly-stochastic samples along a new leading axis."""
+    import jax as _jax
+
+    def sample_one(k):
+        g = -jnp.log(-jnp.log(_jax.random.uniform(k, s.shape) + 1e-20) + 1e-20)
+        return sinkhorn(s + g, nrows, ncols, tau=tau, max_iter=max_iter,
+                        dummy_row=dummy_row)
+
+    keys = _jax.random.split(key, sample_num)
+    return _jax.vmap(sample_one)(keys)
 
 
 def sinkhorn_auto(
