@@ -92,6 +92,26 @@ class TestCrossDomainHead:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
 
+    def test_node_completion(self):
+        """Classes present in one domain only get hallucinated counterparts."""
+        rng = np.random.RandomState(5)
+        M, D, C = 8, 16, 2
+        src = jnp.asarray(rng.randn(M, D), jnp.float32)
+        tgt = jnp.asarray(rng.randn(M, D), jnp.float32)
+        mask = jnp.ones(M, bool)
+        src_labels = jnp.ones(M, jnp.int32)       # class 1 only
+        tgt_labels = jnp.full((M,), 2, jnp.int32)  # class 2 only
+        head = CrossDomainGraphHead(num_classes=C, dim=D)
+        params = head.init(jax.random.PRNGKey(0), src, src_labels, mask, tgt,
+                           tgt_labels, mask, completion_rng=jax.random.PRNGKey(5))
+        assert "seed_project" in params["params"]
+        losses, centers = head.apply(
+            params, src, src_labels, mask, tgt, tgt_labels, mask,
+            completion_rng=jax.random.PRNGKey(5),
+        )
+        for v in losses.values():
+            assert np.isfinite(float(v))
+
     def test_center_update(self):
         rng = np.random.RandomState(3)
         M, D, C = 6, 8, 2

@@ -109,6 +109,9 @@ def _merge_params(params, loaded):
 
 
 def build_trainer(cfg: CfgNode, *, seed: int = 0):
+    """Trainer dispatch by ``SEMISUPNET.Trainer`` (reference
+    ``train_net.py:39-44``: "baseline" vs "ateacher")."""
+    from ttdg_mgm_tpu.engine.mean_teacher import ATeacherTrainer
     from ttdg_mgm_tpu.engine.trainer import BaselineTrainer
 
     model = build_model(cfg)
@@ -118,13 +121,24 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
         weight_decay=cfg.SOLVER.WEIGHT_DECAY,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
     )
-    return BaselineTrainer(
-        model, tx, params,
+    common = dict(
         canvas=_canvas_size(cfg),
         min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST,
         gt_cap=cfg.TPU.MAX_GT_PER_IMAGE,
     )
+    if cfg.SEMISUPNET.Trainer == "ateacher":
+        return ATeacherTrainer(
+            model, tx, params,
+            ema_keep_rate=cfg.SEMISUPNET.EMA_KEEP_RATE or 0.9996,
+            teacher_update_iter=cfg.SEMISUPNET.TEACHER_UPDATE_ITER,
+            burn_up_step=cfg.SEMISUPNET.BURN_UP_STEP,
+            unsup_weight=cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT,
+            dis_weight=cfg.SEMISUPNET.DIS_LOSS_WEIGHT,
+            pseudo_threshold=cfg.SEMISUPNET.BBOX_THRESHOLD,
+            **common,
+        )
+    return BaselineTrainer(model, tx, params, **common)
 
 
 def _canvas_size(cfg: CfgNode) -> int:

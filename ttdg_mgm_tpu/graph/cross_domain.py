@@ -44,16 +44,67 @@ class CrossDomainGraphHead(nn.Module):
     sk_tau: float = 0.05
     sk_iter: int = 20
     center_momentum: float = 0.99
+    completion_nodes_per_class: int = 4
+    with_semantic_completion: bool = True
+
+    def _complete(self, nodes, labels, mask, other_labels, other_mask, centers,
+                  rng, seed_project):
+        """Domain-guided node completion (reference
+        ``graph_matching.py:442-566``): classes present in the OTHER domain
+        but missing here get hallucinated nodes sampled around the EMA class
+        center (+ noise) and pushed through a learned seed projection.
+        Static shapes: a fixed block of ``completion_nodes_per_class`` slots
+        per class is appended, masked valid only when completion applies."""
+        H = self.completion_nodes_per_class
+        C1 = self.num_classes + 1
+        present_here = jax.vmap(
+            lambda c: jnp.any((labels == c) & mask)
+        )(jnp.arange(1, C1))
+        present_other = jax.vmap(
+            lambda c: jnp.any((other_labels == c) & other_mask)
+        )(jnp.arange(1, C1))
+        need = (~present_here) & present_other  # (num_classes,)
+
+        base = centers[1:]  # (num_classes, D) class centers
+        noise = jax.random.normal(rng, (self.num_classes, H, self.dim)) * (
+            0.01 if not self.with_semantic_completion else 1.0
+        )
+        if self.with_semantic_completion:
+            seeds = base[:, None, :] + noise * 0.01
+        else:
+            seeds = noise
+        seeds = seed_project(seeds.reshape(self.num_classes * H, self.dim))
+        hal_labels = jnp.repeat(jnp.arange(1, C1), H)
+        hal_mask = jnp.repeat(need, H)
+        out_nodes = jnp.concatenate([nodes, seeds], axis=0)
+        out_labels = jnp.concatenate([labels, hal_labels.astype(labels.dtype)])
+        out_mask = jnp.concatenate([mask, hal_mask])
+        return out_nodes, out_labels, out_mask
 
     @nn.compact
     def __call__(self, src_nodes, src_labels, src_mask, tgt_nodes, tgt_labels,
-                 tgt_mask, centers=None):
+                 tgt_mask, centers=None, *, completion_rng=None):
         """Node sets ``(M, D)``; labels class+1 with 0 invalid; ``centers``
         ``(num_classes + 1, D)`` EMA class prototypes (functional state).
 
-        Returns ``(losses dict, new_centers)``.
+        Returns ``(losses dict, new_centers)``.  When ``completion_rng`` is
+        given, missing classes are completed from the memory-bank centers
+        before matching.
         """
         C1 = self.num_classes + 1  # + background/van node class
+        if completion_rng is not None:
+            if centers is None:
+                centers = jnp.zeros((C1, self.dim))
+            seed_project = nn.Dense(self.dim, name="seed_project")
+            r1, r2 = jax.random.split(completion_rng)
+            src_nodes, src_labels, src_mask = self._complete(
+                src_nodes, src_labels, src_mask, tgt_labels, tgt_mask, centers,
+                r1, seed_project,
+            )
+            tgt_nodes, tgt_labels, tgt_mask = self._complete(
+                tgt_nodes, tgt_labels, tgt_mask, src_labels, src_mask, centers,
+                r2, seed_project,
+            )
 
         # intra-domain aggregation: residual GCN then self-attention
         magnn = MAGNN(self.dim, self.dim, name="intra_gcn")

@@ -47,8 +47,10 @@ class MGM3Unsup(nn.Module):
     univ_size: int = 32
     dim: int = 256
     quad_weight: float = 0.5
+    cluster_quad_weight: float = 1.0
     sk_tau: float = 0.05
     sk_iter: int = 20
+    num_clusters: int = 1  # >1 enables the MGM-Mixture clustering outer step
 
     @nn.compact
     def __call__(self, nodes, labels, mask, U):
@@ -100,12 +102,23 @@ class MGM3Unsup(nn.Module):
         # --- GA-GM seeded by the frozen universe (:527-533) ---
         U0 = jnp.einsum("gmd,ud->gmu", nodes, U)
         U0 = jnp.where(mask[..., None], U0, 0.0).reshape(T, self.univ_size)
-        U_b = ga_gm(
-            A, Wds, U0, ms, self.univ_size,
-            quad_weight=self.quad_weight,
-            mgm_iter=200, sk_iter=20, sk_tau0=0.1, sk_gamma=0.5,
-            min_tau=1e-2, tol=1e-3,
-        )
+        if self.num_clusters > 1:
+            from ttdg_mgm_tpu.graph.solvers import ga_gm_mixture
+
+            U_b, clusters = ga_gm_mixture(
+                A, Wds, U0, ms, self.univ_size, self.num_clusters,
+                quad_weight=self.quad_weight,
+                cluster_quad_weight=self.cluster_quad_weight,
+            )
+            same_cluster = clusters[:, None] == clusters[None, :]
+        else:
+            U_b = ga_gm(
+                A, Wds, U0, ms, self.univ_size,
+                quad_weight=self.quad_weight,
+                mgm_iter=200, sk_iter=20, sk_tau0=0.1, sk_gamma=0.5,
+                min_tau=1e-2, tol=1e-3,
+            )
+            same_cluster = jnp.ones((G, G), bool)
         Ug = U_b.reshape(G, M, self.univ_size)
 
         # --- permutation-consistency loss over all unordered pairs (:543-569) ---
@@ -114,11 +127,11 @@ class MGM3Unsup(nn.Module):
         pair_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-        )
+        ) & same_cluster  # intra-cluster pairs only (:607-613)
         focal = BCEFocalLoss()
         # ds_sym[i, j] IS the (graph-i rows, graph-j cols) block for every
         # (i, j) by construction, which is exactly the ``s`` the reference
         # collects per intra-class pair (:615-627).
         losses = jax.vmap(jax.vmap(focal))(ds_sym, gt, pair_valid)
-        n_pairs = G * (G - 1) // 2
-        return jnp.sum(jnp.where(pair_sel, losses, 0.0)) / max(n_pairs, 1)
+        n_pairs = jnp.maximum(jnp.sum(pair_sel.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(pair_sel, losses, 0.0)) / n_pairs

@@ -40,13 +40,39 @@ def _fro(x):
     return jnp.sqrt(jnp.sum(jnp.square(x)))
 
 
-def _project_blocks(V, ms, n_univ, *, tau, sk_iter, use_hungarian):
+def _mutual_argmax(X, ms, n_univ):
+    """Round a near-assignment matrix to a hard partial permutation: keep
+    (i, j) iff j is row-i's argmax AND i is column-j's argmax.
+
+    This is the TPU-first discretization (SURVEY.md section 7.1): the exact
+    Jonker-Volgenant LAP is thousands of *sequential* tiny steps per graph —
+    latency-crippling inside the GA while_loop — while after a sharp Sinkhorn
+    the matrix is already near-permutation, where mutual-argmax equals the
+    LAP except on ties/conflicts (which then resolve over subsequent GA
+    iterations).  ``ops.lap.hungarian`` remains available for exactness.
+    """
+    G, M, U = X.shape
+    row_best = jnp.argmax(X, axis=-1)  # (G, M)
+    col_best = jnp.argmax(X, axis=-2)  # (G, U)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, M, U), 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, M, U), 1)
+    one = (cols == row_best[..., None]) & (rows == col_best[:, None, :])
+    nonzero = jnp.max(X, axis=-1, keepdims=True) > 0
+    return (one & nonzero).astype(X.dtype)
+
+
+def _project_blocks(V, ms, n_univ, *, tau, sk_iter, use_hungarian,
+                    exact_hungarian: bool = False):
     """Project each graph's (M, U) block of ``V`` (G, M, U) to a
     doubly-stochastic / permutation matrix over its valid ``ms`` rows."""
-    if use_hungarian:
+    if use_hungarian and exact_hungarian:
         out = hungarian_auto(V, ms, jnp.full_like(ms, n_univ))
     else:
-        out = sinkhorn_project(V, ms, jnp.full_like(ms, n_univ), tau=tau, max_iter=sk_iter)
+        # fully unrolled: inside the GA while_loop the solve is latency-bound
+        out = sinkhorn_project(V, ms, jnp.full_like(ms, n_univ), tau=tau,
+                               max_iter=sk_iter, unroll=sk_iter)
+        if use_hungarian:
+            out = _mutual_argmax(out, ms, n_univ)
     m = V.shape[-2]
     row_valid = jax.lax.broadcasted_iota(jnp.int32, (V.shape[0], m), 1) < ms[:, None]
     return jnp.where(row_valid[..., None], out, 0.0)
@@ -178,3 +204,77 @@ def ga_gm(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
         U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau, use_hungarian=False, **kw)
     U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1], use_hungarian=True, **kw)
     return U
+
+
+def _cluster_affinity(A, W, U, ms, G, M, *, quad_weight: float = 1.0,
+                      scale: float = 1.0):
+    """Pairwise graph-affinity matrix Alpha (reference
+    ``multi_graph_matching.py:252-271``):
+    ``Alpha_ij = sum(W_ij * X_ij) + exp(-||X_ij^T A_i X_ij - A_j|| / scale) * qw``
+    with ``X_ij = U_i U_j^T``; diagonal zero."""
+    Ug = U.reshape(G, M, -1)
+    X = jnp.einsum("imu,jnu->ijmn", Ug, Ug)  # (G, G, M, M)
+    Wb = W.reshape(G, M, G, M).transpose(0, 2, 1, 3)
+    term1 = jnp.sum(Wb * X, axis=(-2, -1))
+    Ab = jnp.stack([jax.lax.dynamic_slice(A, (g * M, g * M), (M, M))
+                    for g in range(G)])
+    # X_ij^T A_i X_ij: (G, G, M, M)
+    XtA = jnp.einsum("ijmn,imk->ijnk", X, Ab)  # X^T A_i
+    quad = jnp.einsum("ijnk,ijkl->ijnl", XtA, X)
+    diff = quad - Ab[None, :]
+    term2 = jnp.exp(-jnp.sqrt(jnp.sum(jnp.square(diff), axis=(-2, -1)) + 1e-20)
+                    / scale) * quad_weight
+    alpha = term1 + term2
+    return jnp.where(jnp.eye(G, dtype=bool), 0.0, alpha)
+
+
+def ga_gm_mixture(A, W, U0, ms, n_univ: int, num_clusters: int, *,
+                  quad_weight: float = 1.0, cluster_quad_weight: float = 1.0,
+                  mgm_iter: int = 200, sk_iter: int = 20, sk_tau0: float = 0.1,
+                  sk_gamma: float = 0.5, min_tau: float = 1e-2,
+                  tol: float = 1e-3):
+    """MGM-Mixture: GA-GM with a spectral-clustering outer step (reference
+    ``GA_GM.forward`` for ``num_clusters > 1``, ``:243-298``).
+
+    Control flow mirrors the reference's instantiation: the ``zip`` over the
+    per-stage config lists truncates to ONE stage with ``beta = 1`` (cluster
+    weights degenerate to all-ones) and ``if beta == 1: break`` ends the
+    cluster loop after the first iteration — so the solve is: initial GA
+    rounds without the final Hungarian switch, graph-affinity Alpha, spectral
+    clustering, one more GA pass, returning ``(U, clusters)``.
+    """
+    from ttdg_mgm_tpu.graph.spectral import spectral_clustering
+
+    A = jax.lax.stop_gradient(A).astype(jnp.float32)
+    W = jax.lax.stop_gradient(W).astype(jnp.float32)
+    U = jax.lax.stop_gradient(U0).astype(jnp.float32)
+    G = ms.shape[0]
+    M = A.shape[0] // G
+    ones = jnp.ones_like(W)
+
+    taus = []
+    t = sk_tau0
+    while True:
+        taus.append(t)
+        if t > min_tau:
+            t *= sk_gamma
+        else:
+            break
+    kw = dict(quad_weight=quad_weight, sk_iter=sk_iter, max_iter=mgm_iter,
+              tol=tol, num_graphs=G, M=M)
+
+    def run_rounds(U):
+        for tau in taus:
+            U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau,
+                            use_hungarian=False, **kw)
+        # hung_iter=False path: discretize the CURRENT U directly (:368-371)
+        return _project_blocks(
+            U.reshape(G, M, n_univ), ms, n_univ, tau=taus[-1], sk_iter=sk_iter,
+            use_hungarian=True,
+        ).reshape(G * M, n_univ)
+
+    U = run_rounds(U)
+    alpha = _cluster_affinity(A, W, U, ms, G, M, quad_weight=cluster_quad_weight)
+    clusters = spectral_clustering(alpha, num_clusters, normalized=True)
+    U = run_rounds(U)
+    return U, clusters

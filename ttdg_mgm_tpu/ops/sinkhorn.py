@@ -47,7 +47,9 @@ def _masked_logsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.where(m > NEG_INF / 2, out, NEG_INF)
 
 
-@functools.partial(jax.jit, static_argnames=("tau", "max_iter", "dummy_row"))
+@functools.partial(
+    jax.jit, static_argnames=("tau", "max_iter", "dummy_row", "unroll")
+)
 def sinkhorn(
     s: jnp.ndarray,
     nrows: jnp.ndarray | None = None,
@@ -56,6 +58,7 @@ def sinkhorn(
     tau: float = 1.0,
     max_iter: int = 10,
     dummy_row: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Doubly-stochastic projection of ``s`` (``(..., N1, N2)``).
 
@@ -116,7 +119,9 @@ def sinkhorn(
         ls = jax.lax.cond(i % 2 == 0, row_norm, col_norm, ls)
         return jnp.where(live, ls, NEG_INF)
 
-    log_s = jax.lax.fori_loop(0, max_iter, body, log_s)
+    # `unroll` removes per-iteration loop overhead — matters inside the
+    # latency-bound GA-GM while_loop where each solve is on tiny matrices.
+    log_s = jax.lax.fori_loop(0, max_iter, body, log_s, unroll=unroll)
 
     out = jnp.exp(jnp.where(real, log_s, NEG_INF))
     return out.astype(orig_dtype)
@@ -166,6 +171,7 @@ def sinkhorn_project(
     *,
     tau: float = 1.0,
     max_iter: int = 10,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Orientation-robust doubly-stochastic projection on a rectangular
     physical shape ``(..., N1, N2)``.
@@ -173,10 +179,9 @@ def sinkhorn_project(
     The reference always transposes so valid-rows <= valid-cols before a
     ``dummy_row`` solve (e.g. ``multi_graph_matching.py:519-522,330-338``).
     Inside one fixed-shape batch both orientations can occur, so both are
-    solved and selected per instance.  Physical N1 must admit ``ncols`` dummy
-    rows (N1 >= max ncols) whenever some instance has nrows < ncols — callers
-    pad the row axis to ``max(N1, N2)`` if needed; this helper does that
-    automatically.
+    solved — stacked into ONE batched solve (sequential depth of one solve,
+    the TPU-relevant cost in latency-bound solver loops) — and selected per
+    instance.
     """
     batch_shape = s.shape[:-2]
     n1, n2 = s.shape[-2], s.shape[-1]
@@ -190,15 +195,14 @@ def sinkhorn_project(
     n = max(n1, n2)
     pad = [(0, 0)] * (s.ndim - 2) + [(0, n - n1), (0, n - n2)]
     sq = jnp.pad(s, pad)
-    fwd = sinkhorn(sq, nrows, ncols, tau=tau, max_iter=max_iter, dummy_row=True)
-    bwd = jnp.swapaxes(
-        sinkhorn(
-            jnp.swapaxes(sq, -1, -2), ncols, nrows, tau=tau, max_iter=max_iter, dummy_row=True
-        ),
-        -1,
-        -2,
+    both = jnp.stack([sq, jnp.swapaxes(sq, -1, -2)], axis=0)
+    rows_b = jnp.stack([nrows, ncols], axis=0)
+    cols_b = jnp.stack([ncols, nrows], axis=0)
+    solved = sinkhorn(both, rows_b, cols_b, tau=tau, max_iter=max_iter,
+                      dummy_row=True, unroll=unroll)
+    out = jnp.where(
+        (nrows <= ncols)[..., None, None], solved[0], jnp.swapaxes(solved[1], -1, -2)
     )
-    out = jnp.where((nrows <= ncols)[..., None, None], fwd, bwd)
     return out[..., :n1, :n2]
 
 
