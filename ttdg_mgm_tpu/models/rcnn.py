@@ -138,13 +138,20 @@ class MaskRCNN(nn.Module):
             lambda fs, b: multilevel_roi_align(fs, b, output_size=output_size)
         )(pool_feats, boxes)
 
+    def _head_dtype(self, x):
+        """Heads in bf16 under the AMP policy (the box head's 2 FC layers are
+        the detection path's FLOPs hot spot); logits return as f32."""
+        return x.astype(jnp.bfloat16) if self.compute_dtype == "bfloat16" else x
+
     def _box_inference(self, feats, prop_boxes, prop_valid, image_sizes):
         """Fast-rcnn inference -> top detections (B, D, ...); flax heads run
         on the flattened (B*K) roi batch, per-image NMS is vmapped."""
         B, K = prop_boxes.shape[:2]
         pooled = self._pool(feats, prop_boxes, 7)
-        x = self.box_head(pooled.reshape(B * K, *pooled.shape[2:]))
+        x = self.box_head(self._head_dtype(pooled.reshape(B * K, *pooled.shape[2:])))
         scores, deltas = self.box_predictor(x)
+        scores = scores.astype(jnp.float32)
+        deltas = deltas.astype(jnp.float32)
         infer = jax.vmap(
             lambda s, d, b, v, hw: roi_box_inference(
                 s, d, b, v, hw, num_classes=self.num_classes,
@@ -171,7 +178,9 @@ class MaskRCNN(nn.Module):
         )
         B, D = scores.shape
         pooled = self._pool(feats, boxes, 14)
-        logits = self.mask_head(pooled.reshape(B * D, *pooled.shape[2:]))
+        logits = self.mask_head(
+            self._head_dtype(pooled.reshape(B * D, *pooled.shape[2:]))
+        ).astype(jnp.float32)
         logits = logits.reshape(B, D, *logits.shape[1:])  # (B, D, 28, 28, C)
         cls_idx = jnp.clip(classes, 0, self.num_classes - 1)
         sel = jnp.take_along_axis(
@@ -237,8 +246,10 @@ class MaskRCNN(nn.Module):
         )(pboxes, pvalid, gt_boxes, gt_classes, gt_valid, keys)
 
         pooled = self._pool(feats, sb, 7)
-        x = self.box_head(pooled.reshape(B * S, *pooled.shape[2:]))
+        x = self.box_head(self._head_dtype(pooled.reshape(B * S, *pooled.shape[2:])))
         scores, deltas = self.box_predictor(x)
+        scores = scores.astype(jnp.float32)
+        deltas = deltas.astype(jnp.float32)
         matched_gt_boxes = jax.vmap(lambda g, m: g[m])(gt_boxes, sm)
         det = jax.vmap(
             lambda s, d, b, g, c, f, v: fast_rcnn_losses(
@@ -266,7 +277,9 @@ class MaskRCNN(nn.Module):
                 sb, sc, sm, sfg
             )
             pooled_m = self._pool(feats, fg_boxes, 14)
-            mlogits = self.mask_head(pooled_m.reshape(B * cap, *pooled_m.shape[2:]))
+            mlogits = self.mask_head(
+                self._head_dtype(pooled_m.reshape(B * cap, *pooled_m.shape[2:]))
+            ).astype(jnp.float32)
             mlogits = mlogits.reshape(B, cap, *mlogits.shape[1:])
             # GT masks live on a (mask_res, mask_res) canvas of the padded image
             mres = gt_masks.shape[-1]
