@@ -46,16 +46,19 @@ def main():
 
     n_iters = 10
     t0 = time.perf_counter()
+    losses = []
     for i in range(n_iters):
         state, loss = step(state, {"image": images + i, "image_sizes": sizes})
+        losses.append(loss)
     jax.block_until_ready(loss)
     dt_step = (time.perf_counter() - t0) / n_iters
+    matching_active = any(float(l) != 0.0 for l in losses)
 
-    # A cold (random-init) detector often yields detections with no interior
+    # A cold (random-init) detector can yield detections with no interior
     # FCOS-positive locations -> empty node sets -> the matching solver takes
-    # its converged fast path.  Charge the step with a fully-loaded matching
-    # pass (G=B graphs x 100 nodes, the sampler's cap) so the reported number
-    # reflects the real TTA workload of a trained model.
+    # its converged fast path.  Only in that case, charge the step with a
+    # fully-loaded matching pass (G=B graphs x 100 nodes, the sampler's cap)
+    # so the reported number reflects the real TTA workload.
     from ttdg_mgm_tpu.graph.mgm import MGM3Unsup
 
     G, M, D = B, 100, 256
@@ -66,15 +69,17 @@ def main():
     mgm = MGM3Unsup(num_classes=2, univ_size=32, dim=D)
     mp = mgm.init(rng2, nodes, nlabels, nmask, jax.random.normal(rng2, (32, D)))
     Umat = jax.random.normal(rng2, (32, D))
-    mgm_vg = jax.jit(jax.value_and_grad(
-        lambda n: mgm.apply(mp, n, nlabels, nmask, Umat)))
-    out = mgm_vg(nodes)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = mgm_vg(nodes + 0.001 * i)
-    jax.block_until_ready(out)
-    dt_mgm = (time.perf_counter() - t0) / n_iters
+    dt_mgm = 0.0
+    if not matching_active:
+        mgm_vg = jax.jit(jax.value_and_grad(
+            lambda n: mgm.apply(mp, n, nlabels, nmask, Umat)))
+        out = mgm_vg(nodes)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = mgm_vg(nodes + 0.001 * i)
+        jax.block_until_ready(out)
+        dt_mgm = (time.perf_counter() - t0) / n_iters
 
     imgs_per_sec = B / (dt_step + dt_mgm)
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

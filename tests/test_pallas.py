@@ -4,7 +4,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ttdg_mgm_tpu.graph.solvers import ga_gm
 from ttdg_mgm_tpu.ops.sinkhorn import sinkhorn
+from ttdg_mgm_tpu.ops.pallas.gagm_pallas import ga_gm_fused
 from ttdg_mgm_tpu.ops.pallas.sinkhorn_pallas import sinkhorn_pallas
 
 
@@ -15,6 +17,46 @@ class TestSinkhornPallas:
         a = sinkhorn(s, tau=0.1, max_iter=20)
         b = sinkhorn_pallas(s, tau=0.1, max_iter=20, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_gagm_fused_parity_structured(self):
+        """Fused kernel == XLA solver on a well-separated matching problem
+        (on random near-tie data, discrete rounding may legitimately diverge
+        by tie-breaking)."""
+        rng = np.random.RandomState(0)
+        G, n, univ = 3, 5, 8
+        perms = [rng.permutation(n) for _ in range(G)]
+        Ugt = np.zeros((G, n, univ))
+        for g in range(G):
+            for i in range(n):
+                Ugt[g, i, perms[g][i]] = 1
+        T = G * n
+        W = np.zeros((T, T), np.float32)
+        for i in range(G):
+            for j in range(G):
+                W[i*n:(i+1)*n, j*n:(j+1)*n] = Ugt[i] @ Ugt[j].T + 0.05 * rng.rand(n, n)
+        ms = jnp.full((G,), n, jnp.int32)
+        A = jnp.zeros((T, T), jnp.float32)
+        U0 = jnp.asarray(Ugt.reshape(T, univ) + 0.3 * rng.rand(T, univ))
+        r = np.asarray(ga_gm(A, jnp.asarray(W), U0, ms, univ, quad_weight=0.5))
+        f = np.asarray(ga_gm_fused(A, jnp.asarray(W), U0, ms, univ,
+                                   quad_weight=0.5, interpret=True))
+        np.testing.assert_allclose(r, f, atol=1e-5)
+
+    def test_gagm_fused_continuous_exact(self):
+        """Single continuous (pre-discretization) iteration is bit-exact,
+        including the transposed (nodes > universe) orientation and ragged ms."""
+        rng = np.random.RandomState(1)
+        G, n, univ = 4, 12, 6
+        T = G * n
+        W = jnp.asarray(rng.rand(T, T).astype(np.float32))
+        A = jnp.asarray(rng.rand(T, T).astype(np.float32) * 0.1)
+        U0 = jnp.asarray(rng.rand(T, univ).astype(np.float32))
+        ms = jnp.asarray([n - (g % 2) for g in range(G)], jnp.int32)
+        kw = dict(quad_weight=0.5, mgm_iter=1, sk_tau0=0.1, sk_gamma=0.5,
+                  min_tau=0.2)
+        r = np.asarray(ga_gm(A, W, U0, ms, univ, **kw))
+        f = np.asarray(ga_gm_fused(A, W, U0, ms, univ, interpret=True, **kw))
+        np.testing.assert_allclose(r, f, atol=1e-6)
 
     def test_parity_dummy_rows_and_masks(self):
         rng = np.random.RandomState(1)

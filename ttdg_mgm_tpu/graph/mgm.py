@@ -51,6 +51,7 @@ class MGM3Unsup(nn.Module):
     sk_tau: float = 0.05
     sk_iter: int = 20
     num_clusters: int = 1  # >1 enables the MGM-Mixture clustering outer step
+    use_fused_gagm: bool | None = None  # None = auto (fused Pallas on TPU)
 
     @nn.compact
     def __call__(self, nodes, labels, mask, U):
@@ -112,12 +113,19 @@ class MGM3Unsup(nn.Module):
             )
             same_cluster = clusters[:, None] == clusters[None, :]
         else:
-            U_b = ga_gm(
-                A, Wds, U0, ms, self.univ_size,
-                quad_weight=self.quad_weight,
-                mgm_iter=200, sk_iter=20, sk_tau0=0.1, sk_gamma=0.5,
-                min_tau=1e-2, tol=1e-3,
+            fused = self.use_fused_gagm
+            if fused is None:
+                fused = jax.default_backend() == "tpu"
+            solver_kw = dict(
+                quad_weight=self.quad_weight, mgm_iter=200, sk_iter=20,
+                sk_tau0=0.1, sk_gamma=0.5, min_tau=1e-2, tol=1e-3,
             )
+            if fused:
+                from ttdg_mgm_tpu.ops.pallas.gagm_pallas import ga_gm_fused
+
+                U_b = ga_gm_fused(A, Wds, U0, ms, self.univ_size, **solver_kw)
+            else:
+                U_b = ga_gm(A, Wds, U0, ms, self.univ_size, **solver_kw)
             same_cluster = jnp.ones((G, G), bool)
         Ug = U_b.reshape(G, M, self.univ_size)
 

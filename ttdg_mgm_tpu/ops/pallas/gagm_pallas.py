@@ -1,0 +1,221 @@
+"""Fused Graduated-Assignment multi-graph matching as ONE Pallas TPU kernel.
+
+After the bf16 detection path, the f32 GA-GM solve dominates the TTA step
+(~100 ms of the ~105 ms loaded step at 512x512 batch 4): hundreds of
+power-iteration steps whose loop carries bounce through HBM and whose tiny
+Sinkhorn sweeps pay XLA scheduling overhead.  The whole problem is ~1.5 MB
+(joint matrices 400x400, U 400x32), so this kernel keeps EVERYTHING in VMEM
+for the entire solve: the static tau schedule unrolls, each round runs a
+``while_loop`` of MXU power steps + fully-unrolled masked-logsumexp Sinkhorn
+sweeps, and the final round discretizes by mutual argmax — numerics identical
+to ``graph.solvers.ga_gm`` (parity-tested in interpret mode).
+
+Mosaic-lowering notes (each cost a TPU compiler crash to learn):
+
+* no scatter (``.at[].set``), no 3-D minor-dim transpose, no lane concat;
+* the in-kernel ``(T, L) -> (G, M, L)`` reshape must split the sublane dim on
+  tile boundaries -> per-graph blocks padded to ``M % 8 == 0`` in the wrapper;
+* BOTH Sinkhorn orientations (the reference transposes so valid-rows <=
+  valid-cols) run on the SAME untransposed ``(G, M, L)`` block with swapped
+  iteration axes; the transposed orientation's dummy rows live on the
+  universe axis, so ``L = roundup(max(M, n_univ), 128)`` lanes are allocated
+  (padded outside the kernel) to hold them;
+* argmax becomes max-compare with an index-epsilon tie-break (equals
+  first-index argmax for value spacings > ~1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+DUMMY_LOG_VALUE = -100.0
+
+
+def _taus(sk_tau0, sk_gamma, min_tau):
+    taus = []
+    t = sk_tau0
+    while True:
+        taus.append(t)
+        if t > min_tau:
+            t *= sk_gamma
+        else:
+            break
+    return taus
+
+
+def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
+                 sk_gamma, min_tau, tol):
+    T = G * M
+    taus = _taus(sk_tau0, sk_gamma, min_tau)
+
+    def kernel(ms_ref, A_ref, W_ref, U0_ref, out_ref):
+        A = A_ref[...].astype(jnp.float32)
+        W = W_ref[...].astype(jnp.float32)
+        U_init = U0_ref[...].astype(jnp.float32)
+
+        g_id = jax.lax.broadcasted_iota(jnp.int32, (G, M, L), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G, M, L), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G, M, L), 2)
+        ms3 = jnp.zeros((G, M, L), jnp.int32)
+        for g in range(G):
+            ms3 = jnp.where(g_id == g, ms_ref[g], ms3)
+
+        real = (rows < ms3) & (cols < n_univ)
+        # orientation A: rows <= cols problem (ms <= n_univ); dummy node-rows
+        dummyA = (rows >= ms3) & (rows < n_univ) & (cols < n_univ)
+        liveA = (rows < jnp.maximum(ms3, n_univ)) & (cols < n_univ)
+        # orientation B: the transposed (universe x nodes) problem expressed
+        # untransposed; its dummy rows are universe slots [n_univ, ms)
+        dummyB = (cols >= n_univ) & (cols < ms3) & (rows < ms3)
+        liveB = (cols < jnp.maximum(ms3, n_univ)) & (rows < ms3)
+        orientA = ms3 <= n_univ  # constant within each graph
+
+        def lse(x, axis):
+            m = jnp.max(x, axis=axis, keepdims=True)
+            m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
+            s = jnp.sum(jnp.exp(x - m_safe), axis=axis, keepdims=True)
+            out = m_safe + jnp.log(jnp.maximum(s, 1e-38))
+            return jnp.where(m > NEG_INF / 2, out, NEG_INF)
+
+        def sinkhorn_rect(Vg, dummy, live, tau, *, first_axis):
+            ls = jnp.where(real, Vg / tau,
+                           jnp.where(dummy, DUMMY_LOG_VALUE, NEG_INF))
+            other = 1 if first_axis == 2 else 2
+            for i in range(sk_iter):
+                ls = ls - lse(ls, first_axis if i % 2 == 0 else other)
+                ls = jnp.where(live, ls, NEG_INF)
+            return jnp.exp(jnp.where(real, ls, NEG_INF))
+
+        def project(V, tau):
+            Vg = V.reshape(G, M, L)
+            fwd = sinkhorn_rect(Vg, dummyA, liveA, tau, first_axis=2)
+            bwd = sinkhorn_rect(Vg, dummyB, liveB, tau, first_axis=1)
+            out = jnp.where(orientA, fwd, bwd)
+            return jnp.where(real, out, 0.0)
+
+        def mutual_argmax(X):
+            # max-compare with index-epsilon tie-break == first-index argmax
+            Y = X - cols.astype(jnp.float32) * 1e-7 - rows.astype(jnp.float32) * 1e-7
+            row_max = jnp.max(Y, axis=2, keepdims=True)
+            col_max = jnp.max(Y, axis=1, keepdims=True)
+            one = (Y >= row_max) & (Y >= col_max) & (X > 0)
+            return jnp.where(one, 1.0, 0.0)
+
+        def eye_pin(Unew):
+            if G != 2:
+                return Unew
+            r2 = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
+            c2 = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1)
+            eye = jnp.where((r2 == c2) & (r2 < ms_ref[0]) & (c2 < n_univ),
+                            1.0, 0.0)
+            return jnp.where(r2 < M, eye, Unew)
+
+        def power(U):
+            UUt = jnp.dot(U, U.T, preferred_element_type=jnp.float32)
+            V = jnp.dot(
+                jnp.dot(A, jnp.dot(UUt, A, preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32),
+                U, preferred_element_type=jnp.float32,
+            ) * (quad_weight * 2.0) + jnp.dot(W, U,
+                                              preferred_element_type=jnp.float32)
+            return V / G
+
+        def fro2(x):
+            return jnp.sum(jnp.square(x))
+
+        def make_round(tau, use_hung):
+            def body(state):
+                i, U, lastU, _ = state
+                X = project(power(U), tau)
+                if use_hung:
+                    X = mutual_argmax(X)
+                U_new = eye_pin(X.reshape(T, L))
+                done = (fro2(U_new - U) < tol * tol) | (fro2(U_new - lastU) == 0.0)
+                return i + 1, U_new, U, done
+
+            def cond(state):
+                i, _, _, done = state
+                return (i < mgm_iter) & (~done)
+
+            def run(U):
+                _, U, _, _ = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), U, jnp.zeros_like(U),
+                                 jnp.array(False))
+                )
+                return U
+
+            return run
+
+        U = U_init
+        for tau in taus:
+            U = make_round(tau, False)(U)
+        U = make_round(taus[-1], True)(U)
+        out_ref[...] = U.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_univ", "quad_weight", "mgm_iter", "sk_iter", "sk_tau0",
+                     "sk_gamma", "min_tau", "tol", "interpret"),
+)
+def ga_gm_fused(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
+                mgm_iter: int = 200, sk_iter: int = 20, sk_tau0: float = 0.1,
+                sk_gamma: float = 0.5, min_tau: float = 1e-2, tol: float = 1e-3,
+                interpret: bool = False):
+    """Drop-in for ``graph.solvers.ga_gm`` running entirely in VMEM."""
+    A = jax.lax.stop_gradient(A).astype(jnp.float32)
+    W = jax.lax.stop_gradient(W).astype(jnp.float32)
+    U0 = jax.lax.stop_gradient(U0).astype(jnp.float32)
+    G = ms.shape[0]
+    T = A.shape[0]
+    orig_M = T // G
+    # sublane-aligned per-graph blocks; lane axis wide enough for orientation
+    # B's dummy universe slots, 128-aligned
+    M = -(-orig_M // 8) * 8
+    L = -(-max(M, n_univ) // 128) * 128
+    if M != orig_M:
+        def pad_rows(x):
+            return jnp.pad(
+                x.reshape(G, orig_M, -1), ((0, 0), (0, M - orig_M), (0, 0))
+            ).reshape(G * M, -1)
+
+        A = pad_rows(pad_rows(A).T).T
+        W = pad_rows(pad_rows(W).T).T
+        U0 = pad_rows(U0)
+    U0 = jnp.pad(U0, ((0, 0), (0, L - n_univ)))
+    T = G * M
+
+    kernel = _make_kernel(
+        G, M, L, n_univ, quad_weight=quad_weight, mgm_iter=mgm_iter,
+        sk_iter=sk_iter, sk_tau0=sk_tau0, sk_gamma=sk_gamma, min_tau=min_tau,
+        tol=tol,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, L), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(ms, jnp.int32), A, W, U0)
+    out = out[:, :n_univ]
+    if M != orig_M:
+        out = out.reshape(G, M, n_univ)[:, :orig_M, :].reshape(G * orig_M,
+                                                               n_univ)
+    return out
