@@ -82,9 +82,15 @@ class MaskRCNN(nn.Module):
     batch_size_per_image: int = 512
     mask_fg_cap: int = 128
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput
+    backbone_name: str = "resnet50"  # or "vgg16" (reference build_vgg_backbone)
 
     def setup(self):
-        self.backbone = ResNet50()
+        if self.backbone_name == "vgg16":
+            from ttdg_mgm_tpu.models.vgg import VGG16FPNBackbone
+
+            self.backbone = VGG16FPNBackbone()
+        else:
+            self.backbone = ResNet50()
         self.fpn = FPN()
         self.rpn_head = RPNHead()
         self.box_head = BoxHead()
@@ -212,7 +218,7 @@ class MaskRCNN(nn.Module):
             feats, pboxes, pvalid, image_sizes
         )
         nodes, labels, node_mask = self.graph_generator(
-            self._feature_list(feats), boxes, classes, valid
+            self._feature_list(feats), jax.lax.stop_gradient(boxes), classes, valid
         )
         loss = self.multi_matching_unsup(
             nodes, labels, node_mask, jax.lax.stop_gradient(self.U)

@@ -100,9 +100,12 @@ def generate_proposals(logits, regs, anchors, image_sizes, *,
         all_scores = jnp.concatenate(cand_scores, 0)
         top_s, idx = jax.lax.top_k(all_scores, post_nms_topk)
         v = top_s > -1.0e29
+        # d2 detaches proposals ("treated as fixed" in find_top_rpn_proposals):
+        # without this, box/mask losses backprop through the ROIAlign sampling
+        # COORDINATES into the exp() box decode and explode within two steps.
         return (
-            jnp.where(v[:, None], all_boxes[idx], 0.0),
-            jnp.where(v, top_s, 0.0),
+            jax.lax.stop_gradient(jnp.where(v[:, None], all_boxes[idx], 0.0)),
+            jax.lax.stop_gradient(jnp.where(v, top_s, 0.0)),
             v,
         )
 

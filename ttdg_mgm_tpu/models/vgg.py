@@ -25,21 +25,30 @@ class VGG16Backbone(nn.Module):
     @nn.compact
     def __call__(self, x):
         outputs = {}
-        stage = 1
+        stage = 0
         conv_idx = 0
         for v in _VGG16:
             if v == "M":
-                name = f"vgg{stage}"
-                if name in self.out_features and stage >= 2:
-                    outputs[name] = x
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 stage += 1
+                name = f"vgg{stage}"  # vgg2 = after 2nd pool = stride 4
+                if name in self.out_features:
+                    outputs[name] = x
             else:
                 x = nn.Conv(v, (3, 3), padding=((1, 1), (1, 1)),
                             name=f"conv{conv_idx}")(x)
                 x = FrozenBatchNorm(v, name=f"conv{conv_idx}_norm")(x)
                 x = nn.relu(x)
                 conv_idx += 1
-        if "vgg5" in self.out_features and "vgg5" not in outputs:
-            outputs["vgg5"] = x
         return outputs
+
+
+class VGG16FPNBackbone(nn.Module):
+    """VGG-16 trunk + FPN (reference ``build_vgg_backbone`` FPN wrapper,
+    ``vgg.py:122-154``), emitting the same ``res2..res5``-named dict the
+    R50 path emits so FPN / heads are backbone-agnostic."""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = VGG16Backbone(name="trunk")(x)
+        return {f"res{i}": feats[f"vgg{i}"] for i in range(2, 6)}

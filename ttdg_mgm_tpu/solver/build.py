@@ -17,6 +17,7 @@ import math
 from bisect import bisect_right
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -96,10 +97,19 @@ def build_optimizer(params, schedule, *, momentum: float = 0.9,
                     weight_decay: float = 1e-4, freeze_at: int = 2,
                     nesterov: bool = False):
     """SGD + momentum with decoupled-into-gradient weight decay (torch
-    semantics: wd added to the gradient before the momentum update)."""
+    semantics: wd added to the gradient before the momentum update).
+
+    Frozen leaves get ``set_to_zero`` updates via ``multi_transform`` — NOT
+    ``optax.masked``, whose masked-out leaves pass their raw gradients
+    through as updates (i.e. ``param += grad``), silently un-freezing and
+    destabilizing training.
+    """
     mask = trainable_mask(params, freeze_at=freeze_at)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=nesterov),
     )
-    return optax.masked(tx, mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
