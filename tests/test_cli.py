@@ -1,0 +1,73 @@
+"""CLI end-to-end: ``train_net.py --eval-only`` on a synthetic dataset laid
+out in the reference's directory schema (mirrors SURVEY.md section 3.1's
+flagship invocation, in miniature)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("medroot")
+    img_dir = root / "Fundus" / "Drishti_GS" / "test" / "image"
+    img_dir.mkdir(parents=True)
+    images, annotations = [], []
+    for i in range(3):
+        arr = np.full((64, 64, 3), 35, np.uint8)
+        cx, cy, r = 28 + 4 * i, 30, 11
+        yy, xx = np.mgrid[:64, :64]
+        arr[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = [210, 170, 150]
+        Image.fromarray(arr).save(img_dir / f"f{i}.png")
+        images.append({"id": i, "file_name": f"f{i}.png", "height": 64, "width": 64})
+        theta = np.linspace(0, 2 * np.pi, 13)[:-1]
+        poly = np.stack([cx + r * np.cos(theta), cy + r * np.sin(theta)], -1)
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [cx - r, cy - r, 2 * r, 2 * r], "iscrowd": 0,
+            "area": float(np.pi * r * r),
+            "segmentation": [poly.reshape(-1).tolist()],
+        })
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "disc"}, {"id": 2, "name": "cup"}]}
+    (root / "Fundus" / "Drishti_GS_test.json").write_text(json.dumps(coco))
+    return str(root)
+
+
+class TestCLI:
+    def test_eval_only_tta(self, dataset_root, tmp_path):
+        out_dir = tmp_path / "out"
+        cmd = [
+            sys.executable, os.path.join(REPO, "train_net.py"),
+            "--eval-only", "--config", os.path.join(REPO, "configs/test_segment.yaml"),
+            "--datasets-root", dataset_root,
+            "DATASETS.TEST", '["Drishti_GS_test"]',
+            "MODEL.WEIGHTS", "",
+            "OUTPUT_DIR", str(out_dir),
+            "INPUT.MIN_SIZE_TEST", "64", "INPUT.MAX_SIZE_TEST", "64",
+            "MODEL.RPN.PRE_NMS_TOPK_TEST", "64",
+            "MODEL.RPN.POST_NMS_TOPK_TEST", "32",
+            "TEST.DETECTIONS_PER_IMAGE", "8",
+            "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "16",
+            "MODEL.GRAPH.UNIV_SIZE", "8",
+            "MODEL.GRAPH.MAX_NODES", "20",
+            "TEST.BATCH", "2", "TEST.MIN_BATCH_NUM", "1",
+            "TEST.DICE_THRES", "0.0",
+        ]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                             env=env, cwd=REPO)
+        assert res.returncode == 0, res.stderr[-3000:]
+        result_file = out_dir / "result_ap.txt"
+        assert result_file.exists(), res.stdout[-2000:]
+        rec = json.loads(result_file.read_text().strip().splitlines()[-1])
+        assert "Drishti_GS_test" in rec["results"]
+        assert "Drishti_mean" in rec["results"]
