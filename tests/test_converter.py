@@ -185,6 +185,47 @@ class TestFullConversion:
         for k in flat_ref:
             assert flat_ref[k] == flat_conv[k], (k, flat_ref[k], flat_conv[k])
 
+    def test_caffe2_imagenet_backbone(self):
+        """Caffe2 MSRA R-50.pkl names (conv1_w / resX_Y_branchZ_*) convert to
+        a backbone-only partial tree with correct shapes."""
+        from ttdg_mgm_tpu.checkpoint.converter import c2_resnet_to_d2_names
+
+        rng = np.random.RandomState(1)
+        sd = {"conv1_w": rng.randn(64, 3, 7, 7).astype(np.float32),
+              "res_conv1_bn_s": rng.randn(64).astype(np.float32),
+              "res_conv1_bn_b": rng.randn(64).astype(np.float32),
+              "fc1000_w": rng.randn(1000, 2048).astype(np.float32)}
+        blocks = {"2": (3, 64, 256), "3": (4, 128, 512),
+                  "4": (6, 256, 1024), "5": (3, 512, 2048)}
+        in_ch = 64
+        for stage, (n, mid, out) in blocks.items():
+            for i in range(n):
+                cin = in_ch if i == 0 else out
+                for br, (o, ci, k) in {
+                    "branch2a": (mid, cin, 1), "branch2b": (mid, mid, 3),
+                    "branch2c": (out, mid, 1),
+                }.items():
+                    sd[f"res{stage}_{i}_{br}_w"] = rng.randn(o, ci, k, k).astype(np.float32)
+                    sd[f"res{stage}_{i}_{br}_bn_s"] = rng.randn(o).astype(np.float32)
+                    sd[f"res{stage}_{i}_{br}_bn_b"] = rng.randn(o).astype(np.float32)
+                if i == 0:
+                    sd[f"res{stage}_{i}_branch1_w"] = rng.randn(out, cin, 1, 1).astype(np.float32)
+                    sd[f"res{stage}_{i}_branch1_bn_s"] = rng.randn(out).astype(np.float32)
+                    sd[f"res{stage}_{i}_branch1_bn_b"] = rng.randn(out).astype(np.float32)
+            in_ch = out
+        d2 = c2_resnet_to_d2_names(sd)
+        assert "backbone.bottom_up.stem.conv1.weight" in d2
+        assert not any("fc1000" in k for k in d2)
+        converted = convert_d2_state_dict(sd)
+        assert set(converted) == {"backbone"}
+        assert converted["backbone"]["stem_conv1"]["kernel"].shape == (7, 7, 3, 64)
+        assert converted["backbone"]["res5_2"]["conv3"]["kernel"].shape == (1, 1, 512, 2048)
+        # folded BN with no running stats (mean=0, var=1): d2's FrozenBN also
+        # applies eps to the pre-folded caffe stats -> scale = s/sqrt(1+eps)
+        np.testing.assert_allclose(
+            converted["backbone"]["stem_conv1_norm"]["scale"],
+            sd["res_conv1_bn_s"] / np.sqrt(1.0 + 1e-5), rtol=1e-6)
+
     def test_ensemble_member_selection(self):
         sd = synth_state_dict()
         ens = {("modelTeacher." + k): v for k, v in sd.items()}

@@ -91,6 +91,47 @@ def _affinity_block(sd, prefix):
     }
 
 
+_C2_BRANCH = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3",
+              "branch1": "shortcut"}
+
+
+def c2_resnet_to_d2_names(sd: dict) -> dict:
+    """Translate Caffe2 MSRA ImageNet ResNet names (the ``R-50.pkl`` the
+    reference initializes from, ``detectron2://ImageNetPretrained/MSRA``)
+    into d2 backbone names (the d2 ``align_and_update_state_dicts``
+    capability, reference ``detection_checkpoint.py:11-38``).
+
+    Caffe2 BN is pre-folded affine (``*_bn_s``/``*_bn_b``, no running
+    stats); ``_fold_bn`` defaults mean=0/var=1, so folding is a no-op.
+    """
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        if k in ("conv1_w",):
+            out["backbone.bottom_up.stem.conv1.weight"] = v
+        elif k == "res_conv1_bn_s":
+            out["backbone.bottom_up.stem.conv1.norm.weight"] = v
+        elif k == "res_conv1_bn_b":
+            out["backbone.bottom_up.stem.conv1.norm.bias"] = v
+        else:
+            m = re.match(r"res(\d)_(\d+)_(branch\w+)_(w|bn_s|bn_b)$", k)
+            if not m:
+                continue  # fc1000 etc.
+            stage, block, branch, kind = m.groups()
+            conv = _C2_BRANCH.get(branch)
+            if conv is None:
+                continue
+            base = f"backbone.bottom_up.res{stage}.{block}.{conv}"
+            if kind == "w":
+                out[base + ".weight"] = v
+            elif kind == "bn_s":
+                out[base + ".norm.weight"] = v
+            else:
+                out[base + ".norm.bias"] = v
+    return out
+
+
 def convert_d2_state_dict(sd: dict, *, num_classes: int = 2,
                           box_head_channels: int = 256,
                           member: str | None = None) -> dict:
@@ -102,68 +143,77 @@ def convert_d2_state_dict(sd: dict, *, num_classes: int = 2,
         pre = member + "."
         sd = {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
 
+    if "conv1_w" in sd:  # Caffe2 ImageNet pickle (backbone-only init)
+        sd = c2_resnet_to_d2_names(sd)
+
     p: dict = {}
 
     # ---- backbone (d2 names: backbone.bottom_up.stem / res{2-5}.{i}) ------
-    bb: dict = {}
     bu = "backbone.bottom_up."
     if bu + "stem.conv1.weight" not in sd and "backbone.stem.conv1.weight" in sd:
         bu = "backbone."  # plain-resnet naming
-    bb["stem_conv1"] = {"kernel": _conv(sd[bu + "stem.conv1.weight"])}
-    bb["stem_conv1_norm"] = _fold_bn(sd, bu + "stem.conv1.norm")
-    blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
-    for stage, n in blocks.items():
-        for i in range(n):
-            pre = f"{bu}{stage}.{i}."
-            blk = {}
-            for c in ("conv1", "conv2", "conv3"):
-                blk[c] = {"kernel": _conv(sd[pre + c + ".weight"])}
-                blk[c + "_norm"] = _fold_bn(sd, pre + c + ".norm")
-            if pre + "shortcut.weight" in sd:
-                blk["shortcut"] = {"kernel": _conv(sd[pre + "shortcut.weight"])}
-                blk["shortcut_norm"] = _fold_bn(sd, pre + "shortcut.norm")
-            bb[f"{stage}_{i}"] = blk
-    p["backbone"] = bb
+    if bu + "stem.conv1.weight" in sd:
+        bb: dict = {}
+        bb["stem_conv1"] = {"kernel": _conv(sd[bu + "stem.conv1.weight"])}
+        bb["stem_conv1_norm"] = _fold_bn(sd, bu + "stem.conv1.norm")
+        blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+        for stage, n in blocks.items():
+            for i in range(n):
+                pre = f"{bu}{stage}.{i}."
+                blk = {}
+                for c in ("conv1", "conv2", "conv3"):
+                    blk[c] = {"kernel": _conv(sd[pre + c + ".weight"])}
+                    blk[c + "_norm"] = _fold_bn(sd, pre + c + ".norm")
+                if pre + "shortcut.weight" in sd:
+                    blk["shortcut"] = {"kernel": _conv(sd[pre + "shortcut.weight"])}
+                    blk["shortcut_norm"] = _fold_bn(sd, pre + "shortcut.norm")
+                bb[f"{stage}_{i}"] = blk
+        p["backbone"] = bb
 
     # ---- FPN ---------------------------------------------------------------
-    fpn = {}
-    for i in range(2, 6):
-        fpn[f"lateral{i}"] = _conv_block(sd, f"backbone.fpn_lateral{i}")
-        fpn[f"output{i}"] = _conv_block(sd, f"backbone.fpn_output{i}")
-    p["fpn"] = fpn
+    if "backbone.fpn_lateral2.weight" in sd:
+        fpn = {}
+        for i in range(2, 6):
+            fpn[f"lateral{i}"] = _conv_block(sd, f"backbone.fpn_lateral{i}")
+            fpn[f"output{i}"] = _conv_block(sd, f"backbone.fpn_output{i}")
+        p["fpn"] = fpn
 
     # ---- RPN ---------------------------------------------------------------
     rh = "proposal_generator.rpn_head."
-    p["rpn_head"] = {
-        "conv": _conv_block(sd, rh + "conv"),
-        "objectness_logits": _conv_block(sd, rh + "objectness_logits"),
-        "anchor_deltas": _conv_block(sd, rh + "anchor_deltas"),
-    }
+    if rh + "conv.weight" in sd:
+        p["rpn_head"] = {
+            "conv": _conv_block(sd, rh + "conv"),
+            "objectness_logits": _conv_block(sd, rh + "objectness_logits"),
+            "anchor_deltas": _conv_block(sd, rh + "anchor_deltas"),
+        }
 
     # ---- box head (fc1 needs NCHW->NHWC input reordering) ------------------
-    C = box_head_channels
-    w1 = sd["roi_heads.box_head.fc1.weight"]  # (1024, C*49)
-    w1 = w1.reshape(-1, C, 7, 7).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
-    p["box_head"] = {
-        "fc1": {"kernel": _dense(w1), "bias": sd["roi_heads.box_head.fc1.bias"]},
-        "fc2": _dense_block(sd, "roi_heads.box_head.fc2"),
-    }
-    p["box_predictor"] = {
-        "cls_score": _dense_block(sd, "roi_heads.box_predictor.cls_score"),
-        "bbox_pred": _dense_block(sd, "roi_heads.box_predictor.bbox_pred"),
-    }
+    if "roi_heads.box_head.fc1.weight" in sd:
+        C = box_head_channels
+        w1 = sd["roi_heads.box_head.fc1.weight"]  # (1024, C*49)
+        w1 = w1.reshape(-1, C, 7, 7).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+        p["box_head"] = {
+            "fc1": {"kernel": _dense(w1),
+                    "bias": sd["roi_heads.box_head.fc1.bias"]},
+            "fc2": _dense_block(sd, "roi_heads.box_head.fc2"),
+        }
+        p["box_predictor"] = {
+            "cls_score": _dense_block(sd, "roi_heads.box_predictor.cls_score"),
+            "bbox_pred": _dense_block(sd, "roi_heads.box_predictor.bbox_pred"),
+        }
 
     # ---- mask head ---------------------------------------------------------
     mh = "roi_heads.mask_head."
-    mask = {}
-    for i in range(1, 5):
-        mask[f"mask_fcn{i}"] = _conv_block(sd, mh + f"mask_fcn{i}")
-    mask["deconv"] = {
-        "kernel": _deconv(sd[mh + "deconv.weight"]),
-        "bias": sd[mh + "deconv.bias"],
-    }
-    mask["predictor"] = _conv_block(sd, mh + "predictor")
-    p["mask_head"] = mask
+    if mh + "mask_fcn1.weight" in sd:
+        mask = {}
+        for i in range(1, 5):
+            mask[f"mask_fcn{i}"] = _conv_block(sd, mh + f"mask_fcn{i}")
+        mask["deconv"] = {
+            "kernel": _deconv(sd[mh + "deconv.weight"]),
+            "bias": sd[mh + "deconv.bias"],
+        }
+        mask["predictor"] = _conv_block(sd, mh + "predictor")
+        p["mask_head"] = mask
 
     # ---- discriminator -----------------------------------------------------
     if "D_img.conv1.weight" in sd:
