@@ -237,6 +237,24 @@ def convert_d2_state_dict(sd: dict, *, num_classes: int = 2,
     return p
 
 
+# torchvision vgg16_bn ``features`` indices of the 13 convs (BN follows at +1)
+_VGG16BN_CONV_IDX = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
+
+
+def vgg16bn_to_flax(sd: dict, prefix: str = "features.") -> dict:
+    """Convert torchvision ``vgg16_bn`` weights (the init the reference's VGG
+    backbone loads from a local torchvision checkpoint,
+    ``adapteacher/modeling/meta_arch/vgg.py:122-130``) to the param tree of
+    ``models.vgg.VGG16Backbone``: conv kernels OIHW->HWIO, BatchNorm folded
+    into the frozen-affine ``scale``/``bias`` form."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out: dict = {}
+    for i, idx in enumerate(_VGG16BN_CONV_IDX):
+        out[f"conv{i}"] = _conv_block(sd, f"{prefix}{idx}")
+        out[f"conv{i}_norm"] = _fold_bn(sd, f"{prefix}{idx + 1}")
+    return out
+
+
 def load_reference_checkpoint(path: str, *, num_classes: int = 2,
                               prefer: str = "modelTeacher") -> dict:
     """Load a reference ``.pth`` (or d2 ``.pkl``) checkpoint and convert.
