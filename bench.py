@@ -42,17 +42,26 @@ def main():
 
     step = make_tta_step(model, tx)
     state, loss = step(state, batch)  # compile + warmup
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_iters = 10
-    t0 = time.perf_counter()
+    # Measurement honesty (two hard-won lessons about the axon TPU tunnel):
+    # 1. ``jax.block_until_ready`` can return without raising after a worker
+    #    abort, making a block-synced loop report dispatch-only times.  Sync
+    #    with a device->host scalar copy (``float``) — it orders the timeline
+    #    AND raises loudly if the computation aborted.
+    # 2. The tunnel device is shared: identical programs vary >10x with
+    #    contention.  Take the best of several reps — the min is the honest
+    #    capability number; the mean measures other tenants.
+    n_iters, n_reps = 5, 4
     losses = []
-    for i in range(n_iters):
-        state, loss = step(state, {"image": images + i, "image_sizes": sizes})
-        losses.append(loss)
-    jax.block_until_ready(loss)
-    dt_step = (time.perf_counter() - t0) / n_iters
-    matching_active = any(float(l) != 0.0 for l in losses)
+    dt_step = float("inf")
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, loss = step(state, {"image": images + i, "image_sizes": sizes})
+            losses.append(float(loss))
+        dt_step = min(dt_step, (time.perf_counter() - t0) / n_iters)
+    matching_active = any(l != 0.0 for l in losses)
 
     # A cold (random-init) detector can yield detections with no interior
     # FCOS-positive locations -> empty node sets -> the matching solver takes
@@ -73,13 +82,13 @@ def main():
     if not matching_active:
         mgm_vg = jax.jit(jax.value_and_grad(
             lambda n: mgm.apply(mp, n, nlabels, nmask, Umat)))
-        out = mgm_vg(nodes)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            out = mgm_vg(nodes + 0.001 * i)
-        jax.block_until_ready(out)
-        dt_mgm = (time.perf_counter() - t0) / n_iters
+        float(mgm_vg(nodes)[0])
+        dt_mgm = float("inf")
+        for rep in range(n_reps):
+            t0 = time.perf_counter()
+            for i in range(n_iters):
+                float(mgm_vg(nodes + 0.001 * i)[0])  # true sync, raises on abort
+            dt_mgm = min(dt_mgm, (time.perf_counter() - t0) / n_iters)
 
     imgs_per_sec = B / (dt_step + dt_mgm)
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

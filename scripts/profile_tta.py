@@ -1,0 +1,87 @@
+"""Component-wise timing of the TTA step on the current default device.
+
+IMPORTANT measurement note: on the axon TPU tunnel, ``jax.block_until_ready``
+can return without raising after a worker abort, making timings meaningless
+(dispatch-only).  Every measurement here therefore syncs by copying one
+scalar device->host (``_sync``), which both orders the timeline correctly and
+raises loudly if the computation aborted.
+
+Run: python scripts/profile_tta.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    """True synchronization: device->host copy of ONE element (copying a whole
+    leaf would time the tunnel transfer, not the computation)."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(jnp.ravel(leaf)[0])
+
+
+def timeit(fn, *args, n=5, reps=4, **kw):
+    """Min-of-reps: the tunnel TPU is shared, so the best rep is the honest
+    capability number; means are contention-noise."""
+    _sync(fn(*args, **kw))  # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args, **kw)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    return best
+
+
+def main():
+    from ttdg_mgm_tpu.engine.steps import TrainState, make_tta_step
+    from ttdg_mgm_tpu.models import MaskRCNN
+    from ttdg_mgm_tpu.solver.build import build_optimizer
+
+    B, H, W = 4, 512, 512
+    model = MaskRCNN(num_classes=2, compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 64, 64, 3)),
+                        jnp.asarray([[64.0, 64.0]]))["params"]
+    images = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
+    sizes = jnp.tile(jnp.asarray([[float(H), float(W)]]), (B, 1))
+
+    feats_fn = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im, method=model.extract_features))
+    fwd = jax.jit(lambda p, im, sz: model.apply(
+        {"params": p}, im, sz, method=model.forward_inference))
+    ttt = jax.jit(lambda p, im, sz: model.apply(
+        {"params": p}, im, sz, method=model.loss_ttt))
+    ttt_grad = jax.jit(lambda p, im, sz: jax.value_and_grad(
+        lambda q: model.apply({"params": q}, im, sz, method=model.loss_ttt))(p))
+
+    print(f"device: {jax.devices()[0].platform}")
+    print(f"backbone+fpn fwd      : {timeit(feats_fn, params, images):8.2f} ms")
+    print(f"inference fwd         : {timeit(fwd, params, images, sizes):8.2f} ms")
+    print(f"ttt loss fwd          : {timeit(ttt, params, images, sizes):8.2f} ms")
+    print(f"ttt loss fwd+bwd      : {timeit(ttt_grad, params, images, sizes):8.2f} ms")
+
+    tx = build_optimizer(params, lambda _: 0.005)
+    state = TrainState.create(params, tx)
+    step = make_tta_step(model, tx)
+    state, loss = step(state, {"image": images, "image_sizes": sizes})
+    print(f"warmup loss           : {float(loss):.5f}")
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, {"image": images + i, "image_sizes": sizes})
+    lv = float(loss)  # sync + abort check
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"full TTA step         : {dt:8.2f} ms  ({B / dt * 1e3:.1f} img/s)  loss={lv:.5f}")
+
+
+if __name__ == "__main__":
+    main()

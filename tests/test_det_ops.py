@@ -172,6 +172,36 @@ class TestROIAlign:
         np.testing.assert_allclose(out[0], small[0], atol=1e-6)
         np.testing.assert_allclose(out[1], big[0], atol=1e-6)
 
+    def test_multilevel_bf16_matches_f32(self):
+        # the pooler keeps interpolation arithmetic in the feature dtype
+        # (bandwidth-bound op; see ops/roi_align.py) — bf16 pooling must stay
+        # within bf16 tolerance of the f32 result
+        rng = np.random.RandomState(7)
+        feats = [jnp.asarray(rng.rand(64 // (2 ** i), 64 // (2 ** i), 8), jnp.float32)
+                 for i in range(4)]
+        rois = jnp.asarray(
+            [[0, 0, 40, 40], [5, 3, 200, 180], [0, 0, 500, 500]], jnp.float32
+        )
+        ref = np.asarray(multilevel_roi_align(feats, rois, output_size=7))
+        out = np.asarray(
+            multilevel_roi_align(
+                [f.astype(jnp.bfloat16) for f in feats], rois, output_size=7
+            ).astype(jnp.float32)
+        )
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+    def test_multilevel_edge_clamp_and_oob(self):
+        # boxes straddling the border: samples beyond [-1, H] are zero,
+        # in-range samples clamp (d2 aligned=True convention) — exercised
+        # through the flattened-pyramid index path
+        feats = [jnp.ones((16 // (2 ** i), 16 // (2 ** i), 2)) for i in range(4)]
+        rois = jnp.asarray([[-20, -20, 30, 30], [50, 50, 80, 80]], jnp.float32)
+        out = np.asarray(multilevel_roi_align(feats, rois, output_size=7))
+        assert np.isfinite(out).all()
+        # fully out-of-range bins of the second roi are zero
+        assert out[1].max() <= 1.0 + 1e-6
+
 
 class TestMaskPaste:
     def test_full_coverage_box(self):

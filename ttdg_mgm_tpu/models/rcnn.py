@@ -116,9 +116,15 @@ class MaskRCNN(nn.Module):
         x = (images - mean) / std
         if self.compute_dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
+        # NOTE: features leave in compute_dtype (bf16 under the AMP policy;
+        # f32 params promote conv outputs back to f32, so an explicit cast is
+        # needed).  Everything feature-shaped downstream (ROIAlign gathers,
+        # heads, discriminator) is bandwidth-bound — f32 features doubled the
+        # pooler's HBM traffic.  Precision-sensitive consumers (RPN logits,
+        # graph nodes, losses) upcast their own small outputs instead.
         feats = self.fpn(self.backbone(x))
         if self.compute_dtype == "bfloat16":
-            feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+            feats = {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
         return feats
 
     def _feature_list(self, feats):
@@ -127,6 +133,10 @@ class MaskRCNN(nn.Module):
     def _proposals(self, feats, image_sizes, *, train: bool):
         levels = self._feature_list(feats)
         logits, regs = self.rpn_head(levels)
+        # box decode / scoring in f32 (tiny tensors; bf16 box deltas cost
+        # real localization error)
+        logits = [l.astype(jnp.float32) for l in logits]
+        regs = [r.astype(jnp.float32) for r in regs]
         anchors = level_anchors([(f.shape[1], f.shape[2]) for f in levels])
         boxes, scores, valid = generate_proposals(
             logits, regs, anchors, image_sizes,
@@ -221,7 +231,8 @@ class MaskRCNN(nn.Module):
             self._feature_list(feats), jax.lax.stop_gradient(boxes), classes, valid
         )
         loss = self.multi_matching_unsup(
-            nodes, labels, node_mask, jax.lax.stop_gradient(self.U)
+            nodes.astype(jnp.float32), labels, node_mask,
+            jax.lax.stop_gradient(self.U),
         )
         return loss
 
@@ -301,7 +312,7 @@ class MaskRCNN(nn.Module):
                 gt_valid,
             )
             losses["loss_matching"] = self.multi_matching_sup(
-                nodes, labels, node_mask, self.U
+                nodes.astype(jnp.float32), labels, node_mask, self.U
             )
         return losses
 
@@ -314,8 +325,8 @@ class MaskRCNN(nn.Module):
         feats_t = self.extract_features(images_target)[self.dis_type]
         out_t = self.D_img(grad_reverse(feats_t))
         return {
-            "loss_D_img_s": _bce_with_logits_mean(out_s, 0.0),
-            "loss_D_img_t": _bce_with_logits_mean(out_t, 1.0),
+            "loss_D_img_s": _bce_with_logits_mean(out_s.astype(jnp.float32), 0.0),
+            "loss_D_img_t": _bce_with_logits_mean(out_t.astype(jnp.float32), 1.0),
         }
 
     # -- init helper ---------------------------------------------------------

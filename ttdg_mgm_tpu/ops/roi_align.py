@@ -14,10 +14,13 @@ size is ~1-2 px so ``n=2`` brackets the adaptive choice (deviation documented
 for the Dice-parity budget).
 
 The multi-level pooler computes the d2 FPN level assignment
-``lvl = floor(4 + log2(sqrt(area)/224))`` clamped to [min, max] and evaluates
-every level for every ROI, selecting by mask — no gather/scatter
-reorganization, no host sync; the extra FLOPs are gathers only and vanish
-next to the heads' matmuls.
+``lvl = floor(4 + log2(sqrt(area)/224))`` clamped to [min, max] and samples
+each ROI from its assigned level ONLY, through a flattened feature pyramid:
+all levels concatenate into one ``(sum H_l*W_l, C)`` buffer and each bilinear
+corner is one row-gather at ``level_offset + y*W_l + x``.  (An earlier
+version evaluated every level for every ROI and masked — on TPU the pooler
+is row-gather-bandwidth-bound, so that cost ``num_levels`` times the traffic:
+measured 164 ms -> 44 ms for the 4 x 1000-roi flagship pool.)
 """
 
 from __future__ import annotations
@@ -109,16 +112,71 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
 
     feats: sequence of ``(H_l, W_l, C)``; rois ``(K, 4)``.
     Returns ``(K, output_size, output_size, C)``.
+
+    Each ROI samples its d2-assigned level only, via one flattened-pyramid
+    row-gather per bilinear corner (see module docstring).
     """
+    K = rois.shape[0]
+    P, n = output_size, sampling_ratio
+    C = feats[0].shape[-1]
     levels = assign_fpn_levels(
         rois, min_level=min_level, max_level=min_level + len(feats) - 1
+    ) - min_level  # (K,) in [0, L)
+
+    Hs = jnp.asarray([f.shape[0] for f in feats], jnp.int32)
+    Ws = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    sizes = jnp.asarray([f.shape[0] * f.shape[1] for f in feats], jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+
+    scale = 1.0 / jnp.asarray(strides, jnp.float32)[levels]  # (K,)
+    H = Hs[levels]  # (K,) level dims per roi
+    W = Ws[levels]
+    off = offs[levels]
+
+    b = rois * scale[:, None] - 0.5  # aligned=True half-pixel shift
+    bin_w = (b[:, 2] - b[:, 0]) / P
+    bin_h = (b[:, 3] - b[:, 1]) / P
+    steps = (jnp.arange(P * n, dtype=jnp.float32) // n) + (
+        (jnp.arange(P * n, dtype=jnp.float32) % n) + 0.5
+    ) / n
+    ys = b[:, 1, None] + bin_h[:, None] * steps[None, :]  # (K, P*n)
+    xs = b[:, 0, None] + bin_w[:, None] * steps[None, :]
+    yy = jnp.broadcast_to(ys[:, :, None], (K, P * n, P * n))
+    xx = jnp.broadcast_to(xs[:, None, :], (K, P * n, P * n))
+
+    Hf = H.astype(jnp.float32)[:, None, None]
+    Wf = W.astype(jnp.float32)[:, None, None]
+    valid = (yy > -1.0) & (yy < Hf) & (xx > -1.0) & (xx < Wf)
+    y = jnp.clip(yy, 0.0, Hf - 1)
+    x = jnp.clip(xx, 0.0, Wf - 1)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1 = jnp.minimum(y0 + 1, Hf - 1)
+    x1 = jnp.minimum(x0 + 1, Wf - 1)
+    # interpolation arithmetic stays in the feature dtype: promoting the
+    # (K, P*n, P*n, C) corner products to f32 would double the HBM traffic of
+    # an already bandwidth-bound op (bf16 weights cost <1e-2 relative error on
+    # head inputs that are consumed in bf16 anyway)
+    ly = (y - y0)[..., None].astype(flat.dtype)
+    lx = (x - x0)[..., None].astype(flat.dtype)
+    one = jnp.ones((), flat.dtype)
+
+    off_b = off[:, None, None]
+    W_b = W[:, None, None]
+
+    def g(yi, xi):
+        idx = off_b + yi.astype(jnp.int32) * W_b + xi.astype(jnp.int32)
+        return flat[idx.reshape(-1)].reshape(K, P * n, P * n, C)
+
+    v = (
+        g(y0, x0) * (one - ly) * (one - lx)
+        + g(y0, x1) * (one - ly) * lx
+        + g(y1, x0) * ly * (one - lx)
+        + g(y1, x1) * ly * lx
     )
-    out = None
-    for i, (feat, stride) in enumerate(zip(feats, strides)):
-        pooled = roi_align(
-            feat, rois, 1.0 / stride, output_size=output_size,
-            sampling_ratio=sampling_ratio,
-        )
-        sel = (levels == (min_level + i))[:, None, None, None]
-        out = jnp.where(sel, pooled, 0.0) if out is None else out + jnp.where(sel, pooled, 0.0)
-    return out
+    v = jnp.where(valid[..., None], v, jnp.zeros((), flat.dtype))
+    out = jnp.mean(
+        v.reshape(K, P, n, P, n, C), axis=(2, 4), dtype=jnp.float32
+    )
+    return out.astype(flat.dtype)
