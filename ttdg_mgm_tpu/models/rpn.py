@@ -82,22 +82,39 @@ def generate_proposals(logits, regs, anchors, image_sizes, *,
     K = post_nms_topk, sorted by score.
     """
     def per_image(lgt, rgs, h, w):
-        cand_boxes, cand_scores = [], []
+        # Stack all levels to a common (L, K) shape and run ONE batched NMS:
+        # per-level nms_mask calls would serialize 5 independent while_loops
+        # (latency-bound on TPU); stacked, the fixpoint sweeps run for all
+        # levels at once.  Levels with fewer than K anchors pad with -inf
+        # scores / invalid boxes.
+        K = pre_nms_topk
+        lvl_boxes, lvl_scores, lvl_valid = [], [], []
         for lv, anc in enumerate(anchors):
             score = lgt[lv].reshape(-1)
             delta = rgs[lv].reshape(-1, 4)
-            k = min(pre_nms_topk, score.shape[0])
+            k = min(K, score.shape[0])
             top_s, idx = jax.lax.top_k(score, k)
             boxes = decode_boxes(delta[idx], anc[idx])
             boxes = clip_boxes(boxes, h, w)
             ww = boxes[:, 2] - boxes[:, 0]
             hh = boxes[:, 3] - boxes[:, 1]
             valid = (ww > 0) & (hh > 0)
-            keep = nms_mask(boxes, top_s, valid, iou_threshold=nms_thresh)
-            cand_boxes.append(boxes)
-            cand_scores.append(jnp.where(keep, top_s, -1.0e30))
-        all_boxes = jnp.concatenate(cand_boxes, 0)
-        all_scores = jnp.concatenate(cand_scores, 0)
+            pad = K - k
+            if pad:
+                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+                top_s = jnp.pad(top_s, (0, pad), constant_values=-1.0e30)
+                valid = jnp.pad(valid, (0, pad))
+            lvl_boxes.append(boxes)
+            lvl_scores.append(top_s)
+            lvl_valid.append(valid)
+        sb = jnp.stack(lvl_boxes)      # (L, K, 4)
+        ss = jnp.stack(lvl_scores)     # (L, K)
+        sv = jnp.stack(lvl_valid)      # (L, K)
+        keep = jax.vmap(
+            lambda b, s, v: nms_mask(b, s, v, iou_threshold=nms_thresh)
+        )(sb, ss, sv)
+        all_boxes = sb.reshape(-1, 4)
+        all_scores = jnp.where(keep, ss, -1.0e30).reshape(-1)
         top_s, idx = jax.lax.top_k(all_scores, post_nms_topk)
         v = top_s > -1.0e29
         # d2 detaches proposals ("treated as fixed" in find_top_rpn_proposals):
