@@ -308,6 +308,47 @@ class TestLosses:
         masked = float(permutation_loss(jnp.asarray(s), jnp.asarray(gt), jnp.asarray(mask)))
         np.testing.assert_allclose(full, masked, rtol=1e-6)
 
+    def test_displacement_formula_and_mask(self):
+        from ttdg_mgm_tpu.graph.losses import displacement
+
+        s = jnp.asarray([[[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]])  # (1, 2, 3)
+        p_src = jnp.asarray([[[0.0, 0.0], [1.0, 1.0]]])
+        p_tgt = jnp.asarray([[[5.0, 5.0], [2.0, 3.0], [9.0, 9.0]]])
+        d, gm = displacement(s, p_src, p_tgt, ns=jnp.asarray([1]))
+        np.testing.assert_allclose(np.asarray(d[0]), [[2.0, 3.0], [4.0, 4.0]])
+        np.testing.assert_allclose(np.asarray(gm[0]), [[1.0, 1.0], [0.0, 0.0]])
+        d2, gm2 = displacement(s, p_src, p_tgt)
+        assert gm2 is None and d2.shape == (1, 2, 2)
+
+    def test_ilp_attention_loss_perfect_prediction_near_zero(self):
+        from ttdg_mgm_tpu.graph.losses import ilp_attention_loss
+
+        gt = jnp.eye(4)[None]
+        near = jnp.clip(gt, 0.01, 0.99)
+        good = float(ilp_attention_loss(near, gt))
+        bad = float(ilp_attention_loss(jnp.full((1, 4, 4), 0.25), gt))
+        assert good < 0.05 < bad
+        # padded instance equals its cropped twin
+        rng = np.random.RandomState(3)
+        s = rng.rand(1, 5, 5).astype(np.float32) * 0.8 + 0.1
+        gt5 = np.eye(5, dtype=np.float32)[None]
+        crop = float(ilp_attention_loss(jnp.asarray(s[:, :3, :3]), jnp.asarray(gt5[:, :3, :3])))
+        pad = float(ilp_attention_loss(jnp.asarray(s), jnp.asarray(gt5),
+                                       src_ns=[3], tgt_ns=[3]))
+        np.testing.assert_allclose(crop, pad, rtol=1e-5)
+
+    def test_concat_matrix_symmetric_blocks(self):
+        from ttdg_mgm_tpu.graph.losses import concat_matrix
+
+        rng = np.random.RandomState(1)
+        mats = jnp.asarray(rng.rand(2, 3, 3).astype(np.float32))
+        big = concat_matrix(mats, [(0, 1), (1, 2)], num_blocks=3)
+        assert big.shape == (9, 9)
+        np.testing.assert_allclose(np.asarray(big[0:3, 3:6]), np.asarray(mats[0]))
+        np.testing.assert_allclose(np.asarray(big[3:6, 0:3]), np.asarray(mats[0]).T)
+        np.testing.assert_allclose(np.asarray(big[6:9, 3:6]), np.asarray(mats[1]).T)
+        np.testing.assert_allclose(np.asarray(big), np.asarray(big).T)
+
 
 class TestMAGNN:
     def test_shapes_and_mask(self):

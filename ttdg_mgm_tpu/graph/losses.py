@@ -112,3 +112,67 @@ def focal_perm_loss(pred_dsmat, gt_perm, mask=None, gamma: float = 0.0, alpha: f
         loss = jnp.where(mask, loss, 0.0)
     n = jnp.maximum(jnp.sum(mask, axis=(-2, -1)) if mask is not None else loss[..., 0, 0].size, 1)
     return jnp.mean(jnp.sum(loss, axis=(-2, -1)) / n)
+
+
+def displacement(s, p_src, p_tgt, ns=None):
+    """Displacement field ``d_i = (S @ P_tgt)_i - P_src_i`` between matched
+    point sets, plus the dummy-node gradient mask (reference ``Displacement``,
+    ``multi_graph_matching.py:32-74``; Zanfir & Sminchisescu CVPR'18).
+
+    s: (..., N1, N2) doubly-stochastic / permutation matrix; p_src: (..., N1, 2);
+    p_tgt: (..., N2, 2); ns: (...,) valid source-node counts or None.
+    Returns ``(d, grad_mask)`` with grad_mask None when ``ns`` is None.
+    """
+    d = jnp.matmul(s, p_tgt) - p_src
+    if ns is None:
+        return d, None
+    idx = jnp.arange(p_src.shape[-2])
+    grad_mask = (idx < jnp.asarray(ns)[..., None]).astype(p_src.dtype)[..., None]
+    grad_mask = jnp.broadcast_to(grad_mask, p_src.shape)
+    return d, grad_mask
+
+
+def ilp_attention_loss(pred_dsmat, gt_perm, src_ns=None, tgt_ns=None):
+    """ILP attention loss (reference ``losses.py:744-804``; GCAN CVPR'22):
+    BCE restricted to the union of the discretized prediction and the GT
+    assignment.  The discretization is an exact LAP on the (non-negative
+    shifted) scores — a constant w.r.t. the gradient, as in the reference
+    where the Gurobi result enters as data.  Runs on-device via the
+    Jonker-Volgenant LAP (``ops.lap.hungarian``) instead of Gurobi.
+    """
+    from ttdg_mgm_tpu.ops.lap import hungarian
+
+    p = jnp.clip(pred_dsmat.astype(jnp.float32), EPS, 1.0 - EPS)
+    t = gt_perm.astype(jnp.float32)
+    squeeze = p.ndim == 2
+    if squeeze:
+        p, t = p[None], t[None]
+    b, n1, n2 = p.shape
+    src_ns = jnp.full((b,), n1, jnp.int32) if src_ns is None else jnp.asarray(src_ns)
+    tgt_ns = jnp.full((b,), n2, jnp.int32) if tgt_ns is None else jnp.asarray(tgt_ns)
+    dis = jax.lax.stop_gradient(hungarian(p + 1.0, src_ns, tgt_ns))
+    ali = jnp.minimum(dis + t, 1.0)
+    valid = (jnp.arange(n1)[None, :, None] < src_ns[:, None, None]) & (
+        jnp.arange(n2)[None, None, :] < tgt_ns[:, None, None]
+    )
+    bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p)) * ali
+    bce = jnp.where(valid, bce, 0.0)
+    return jnp.sum(bce) / jnp.maximum(jnp.sum(src_ns).astype(jnp.float32), 1.0)
+
+
+def concat_matrix(mats, indices, num_blocks: int):
+    """Assemble pairwise matching matrices into one symmetric joint matrix
+    (reference ``concat_matrix``, ``multi_graph_matching.py:635-673``).
+
+    Static-shape variant: all blocks share the (M1, M2) = mats[k].shape
+    padded size, so block row/col offsets are uniform multiples.  ``mats`` is
+    (P, M, M); ``indices`` a static list of (row, col) block coordinates.
+    Writes each block and its transpose at the symmetric position.
+    """
+    mats = jnp.asarray(mats)
+    M = mats.shape[-1]
+    big = jnp.zeros((num_blocks * M, num_blocks * M), mats.dtype)
+    for k, (r, c) in enumerate(indices):
+        big = jax.lax.dynamic_update_slice(big, mats[k], (r * M, c * M))
+        big = jax.lax.dynamic_update_slice(big, mats[k].T, (c * M, r * M))
+    return big
