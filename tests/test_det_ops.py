@@ -191,6 +191,53 @@ class TestROIAlign:
         assert out.dtype == np.float32
         np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
 
+    def test_packed_matches_unpacked(self):
+        # corner-packed rows (training pools) must equal the plain 4-gather
+        # path (inference pools) exactly, including border clamp cases
+        rng = np.random.RandomState(5)
+        feats = [jnp.asarray(rng.rand(32 // (2 ** i), 32 // (2 ** i), 4),
+                             jnp.float32) for i in range(4)]
+        rois = jnp.asarray(
+            [[0, 0, 40, 40], [5, 3, 120, 100], [-10, -10, 20, 20],
+             [100, 100, 140, 140], [0, 0, 500, 500]], jnp.float32
+        )
+        a = np.asarray(multilevel_roi_align(feats, rois, output_size=7,
+                                            pack_corners=True))
+        b = np.asarray(multilevel_roi_align(feats, rois, output_size=7,
+                                            pack_corners=False))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_mask_roi_align_matches_elementwise(self):
+        # the matmul formulation (MXU path for GT-mask target cropping) must
+        # reproduce the elementwise roi_align bit-for-bit in semantics:
+        # same sample grid, border clamp, out-of-range zeroing, 2x2 averaging
+        from ttdg_mgm_tpu.ops.roi_align import mask_roi_align
+
+        rng = np.random.RandomState(11)
+        masks = rng.rand(5, 24, 24).astype(np.float32)
+        boxes = np.array(
+            [
+                [2.0, 3.0, 20.0, 22.0],
+                [0.0, 0.0, 24.0, 24.0],
+                [-6.0, -6.0, 10.0, 10.0],   # straddles the border
+                [18.0, 18.0, 40.0, 40.0],   # partially out of range
+                [5.5, 7.25, 6.5, 9.75],     # sub-pixel box
+            ],
+            np.float32,
+        )
+        out = np.asarray(
+            mask_roi_align(jnp.asarray(masks), jnp.asarray(boxes),
+                           output_size=6, sampling_ratio=2)
+        )
+        ref = np.stack([
+            np.asarray(
+                roi_align(jnp.asarray(m)[..., None], jnp.asarray(b)[None], 1.0,
+                          output_size=6, sampling_ratio=2)
+            )[0, ..., 0]
+            for m, b in zip(masks, boxes)
+        ])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
     def test_multilevel_edge_clamp_and_oob(self):
         # boxes straddling the border: samples beyond [-1, H] are zero,
         # in-range samples clamp (d2 aligned=True convention) — exercised

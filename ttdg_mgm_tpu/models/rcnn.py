@@ -145,13 +145,17 @@ class MaskRCNN(nn.Module):
         )
         return (logits, regs, anchors), (boxes, scores, valid)
 
-    def _pool(self, feats, boxes, output_size: int):
+    def _pool(self, feats, boxes, output_size: int, *, pack: bool = False):
         """Batched multi-level ROIAlign: boxes (B, K, 4) -> (B, K, P, P, C).
         The pooler is a pure function, so a plain vmap keeps the traced
-        graph size independent of B (no Python unrolling)."""
+        graph size independent of B (no Python unrolling).  ``pack=True``
+        (corner-packed rows) for differentiated training pools only — see
+        ``multilevel_roi_align``."""
         pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
         return jax.vmap(
-            lambda fs, b: multilevel_roi_align(fs, b, output_size=output_size)
+            lambda fs, b: multilevel_roi_align(
+                fs, b, output_size=output_size, pack_corners=pack
+            )
         )(pool_feats, boxes)
 
     def _head_dtype(self, x):
@@ -262,7 +266,7 @@ class MaskRCNN(nn.Module):
             )
         )(pboxes, pvalid, gt_boxes, gt_classes, gt_valid, keys)
 
-        pooled = self._pool(feats, sb, 7)
+        pooled = self._pool(feats, sb, 7, pack=True)
         x = self.box_head(self._head_dtype(pooled.reshape(B * S, *pooled.shape[2:])))
         scores, deltas = self.box_predictor(x)
         scores = scores.astype(jnp.float32)
@@ -293,7 +297,7 @@ class MaskRCNN(nn.Module):
             fg_boxes, fg_cls, fg_matched, fg_mask, n_fg = jax.vmap(compact_fg)(
                 sb, sc, sm, sfg
             )
-            pooled_m = self._pool(feats, fg_boxes, 14)
+            pooled_m = self._pool(feats, fg_boxes, 14, pack=True)
             mlogits = self.mask_head(
                 self._head_dtype(pooled_m.reshape(B * cap, *pooled_m.shape[2:]))
             ).astype(jnp.float32)

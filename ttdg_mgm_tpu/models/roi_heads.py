@@ -234,11 +234,9 @@ def roi_box_inference(scores, deltas, prop_boxes, prop_valid, image_size, *,
 def crop_gt_masks(gt_masks, matched_gt, boxes, out_size: int = 28):
     """Crop+resize per-proposal GT bitmasks to (S, 28, 28) >=0.5 binary
     (d2 ``BitMasks.crop_and_resize`` semantics via ROIAlign on the mask)."""
-    from ttdg_mgm_tpu.ops.roi_align import roi_align
+    from ttdg_mgm_tpu.ops.roi_align import mask_roi_align
 
-    masks = gt_masks[matched_gt].astype(jnp.float32)[..., None]  # (S, Hm, Wm, 1)
-    out = jax.vmap(
-        lambda m, b: roi_align(m, b[None], 1.0, output_size=out_size,
-                               sampling_ratio=2, aligned=True)[0]
-    )(masks, boxes)
-    return (out[..., 0] >= 0.5)
+    masks = gt_masks[matched_gt].astype(jnp.float32)  # (S, Hm, Wm)
+    out = mask_roi_align(masks, boxes, output_size=out_size, sampling_ratio=2,
+                         aligned=True)
+    return out >= 0.5

@@ -152,24 +152,44 @@ def match_anchors(anchors, gt_boxes, gt_valid, *, low_thresh=0.3, high_thresh=0.
     return labels, matched
 
 
-def subsample_labels(labels, key, num_samples=256, positive_fraction=0.5):
-    """d2 ``subsample_labels``: masked random ranking with fixed shapes.
-    Returns a float mask (N,) of sampled anchors and the positive mask."""
+def subsample_indices(labels, key, num_samples=256, positive_fraction=0.5):
+    """d2 ``subsample_labels`` as compact index sets (uniform random subset of
+    positives up to ``num_samples * positive_fraction``, negatives fill the
+    rest).  Returns ``(pos_idx (P,), pos_take (P,), neg_idx (S,), neg_take
+    (S,))`` where P/S are static caps and the ``take`` masks flag live slots.
+
+    ``top_k`` over uniform random keys replaces the earlier full argsort
+    ranking — at 160k anchors x 8 images the two batched 1.28M-element
+    argsorts alone cost 15 ms/step on v5e; two batched top_k(160k, <=256)
+    are ~100x cheaper and draw the same uniform subset.
+    """
+    num_pos_target = int(num_samples * positive_fraction)
     pos = labels == 1
     neg = labels == 0
     r = jax.random.uniform(key, labels.shape)
-    num_pos_target = int(num_samples * positive_fraction)
-    pos_rank = jnp.where(pos, r, 2.0)
-    pos_order = jnp.argsort(pos_rank)
-    pos_rankpos = jnp.zeros_like(labels).at[pos_order].set(jnp.arange(labels.shape[0]))
+    pos_key = jnp.where(pos, r, -1.0)
+    _, pos_idx = jax.lax.top_k(pos_key, num_pos_target)
     num_pos = jnp.minimum(jnp.sum(pos.astype(jnp.int32)), num_pos_target)
-    pos_sel = pos & (pos_rankpos < num_pos)
-    num_neg = num_samples - num_pos
-    neg_rank = jnp.where(neg, r, 2.0)
-    neg_order = jnp.argsort(neg_rank)
-    neg_rankpos = jnp.zeros_like(labels).at[neg_order].set(jnp.arange(labels.shape[0]))
-    neg_sel = neg & (neg_rankpos < num_neg)
-    return (pos_sel | neg_sel), pos_sel
+    pos_take = jnp.arange(num_pos_target) < num_pos
+    neg_key = jnp.where(neg, r, -1.0)
+    _, neg_idx = jax.lax.top_k(neg_key, num_samples)
+    num_neg = jnp.minimum(num_samples - num_pos, jnp.sum(neg.astype(jnp.int32)))
+    neg_take = jnp.arange(num_samples) < num_neg
+    return pos_idx, pos_take, neg_idx, neg_take
+
+
+def subsample_labels(labels, key, num_samples=256, positive_fraction=0.5):
+    """Mask-shaped view of ``subsample_indices`` (d2 ``subsample_labels``):
+    returns ``(sampled_mask (N,), positive_mask (N,))``."""
+    pos_idx, pos_take, neg_idx, neg_take = subsample_indices(
+        labels, key, num_samples, positive_fraction
+    )
+    n = labels.shape[0]
+    pos_sel = jnp.zeros((n,), bool).at[jnp.where(pos_take, pos_idx, n)].set(
+        True, mode="drop"
+    )
+    sel = pos_sel.at[jnp.where(neg_take, neg_idx, n)].set(True, mode="drop")
+    return sel, pos_sel
 
 
 def rpn_losses(logits, regs, anchors, gt_boxes, gt_valid, key, *,
@@ -184,17 +204,25 @@ def rpn_losses(logits, regs, anchors, gt_boxes, gt_valid, key, *,
     flat_logits = jnp.concatenate([l.reshape(B, -1) for l in logits], axis=1)
     flat_regs = jnp.concatenate([r.reshape(B, -1, 4) for r in regs], axis=1)
 
+    def bce(o, t):
+        o = jnp.clip(o, -30.0, 30.0)
+        return jnp.maximum(o, 0.0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o)))
+
     def per_image(lgt, rgs, gtb, gtv, k):
         labels, matched = match_anchors(anc, gtb, gtv)
-        sel, pos_sel = subsample_labels(labels, k, batch_size_per_image,
-                                        positive_fraction)
-        gt_deltas = encode_boxes(anc, gtb[matched])
-        box_l = jnp.sum(
-            jnp.where(pos_sel[:, None], jnp.abs(rgs - gt_deltas), 0.0)
+        pos_idx, pos_take, neg_idx, neg_take = subsample_indices(
+            labels, k, batch_size_per_image, positive_fraction
         )
-        obj = jnp.clip(lgt, -30, 30)
-        bce = jnp.maximum(obj, 0) - obj * (labels == 1) + jnp.log1p(jnp.exp(-jnp.abs(obj)))
-        obj_l = jnp.sum(jnp.where(sel, bce, 0.0))
+        # losses touch only the <=batch_size_per_image sampled anchors, so
+        # gather those rows and compute compactly: encoding deltas for all
+        # 160k anchors and masking cost ~10 ms/step at 800 px batch 8
+        gt_deltas = encode_boxes(anc[pos_idx], gtb[matched[pos_idx]])
+        box_l = jnp.sum(
+            jnp.where(pos_take[:, None], jnp.abs(rgs[pos_idx] - gt_deltas), 0.0)
+        )
+        obj_l = jnp.sum(jnp.where(pos_take, bce(lgt[pos_idx], 1.0), 0.0)) + jnp.sum(
+            jnp.where(neg_take, bce(lgt[neg_idx], 0.0), 0.0)
+        )
         return box_l, obj_l
 
     keys = jax.random.split(key, B)
