@@ -253,13 +253,22 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
 
     if pack_corners:
         idx = off_b + y0.astype(jnp.int32) * W_b + x0.astype(jnp.int32)
-        g = flat[idx.reshape(-1)].reshape(K, P * n, P * n, 4 * C)
+        g = flat[idx.reshape(-1)]  # (K*Pn*Pn, 4C) — combine in the gather's
+        # own flat layout: reshaping the 4C-wide output to (K, Pn, Pn, 4C)
+        # before the combine cost ~25 ms/step in pure layout copies at 800 px
+        w_y = jnp.stack([one - ly, ly], 0).reshape(2, -1, 1)   # (2, N, 1)
+        w_x = jnp.stack([one - lx, lx], 0).reshape(2, -1, 1)
         v = (
-            g[..., :C] * (one - ly) * (one - lx)
-            + g[..., C: 2 * C] * (one - ly) * lx
-            + g[..., 2 * C: 3 * C] * ly * (one - lx)
-            + g[..., 3 * C:] * ly * lx
+            g[:, :C] * (w_y[0] * w_x[0])
+            + g[:, C: 2 * C] * (w_y[0] * w_x[1])
+            + g[:, 2 * C: 3 * C] * (w_y[1] * w_x[0])
+            + g[:, 3 * C:] * (w_y[1] * w_x[1])
         )
+        v = jnp.where(valid.reshape(-1, 1), v, jnp.zeros((), flat.dtype))
+        out = jnp.mean(
+            v.reshape(K, P, n, P, n, C), axis=(2, 4), dtype=jnp.float32
+        )
+        return out.astype(flat.dtype)
     else:
         y1 = jnp.minimum(y0 + 1, Hf - 1)
         x1 = jnp.minimum(x0 + 1, Wf - 1)
