@@ -272,18 +272,20 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
     else:
         y1 = jnp.minimum(y0 + 1, Hf - 1)
         x1 = jnp.minimum(x0 + 1, Wf - 1)
+        w_y = jnp.stack([one - ly, ly], 0).reshape(2, -1, 1)
+        w_x = jnp.stack([one - lx, lx], 0).reshape(2, -1, 1)
 
         def g(yi, xi):
             idx = off_b + yi.astype(jnp.int32) * W_b + xi.astype(jnp.int32)
-            return flat[idx.reshape(-1)].reshape(K, P * n, P * n, C)
+            return flat[idx.reshape(-1)]  # (N, C) — combine flat, as above
 
         v = (
-            g(y0, x0) * (one - ly) * (one - lx)
-            + g(y0, x1) * (one - ly) * lx
-            + g(y1, x0) * ly * (one - lx)
-            + g(y1, x1) * ly * lx
+            g(y0, x0) * (w_y[0] * w_x[0])
+            + g(y0, x1) * (w_y[0] * w_x[1])
+            + g(y1, x0) * (w_y[1] * w_x[0])
+            + g(y1, x1) * (w_y[1] * w_x[1])
         )
-    v = jnp.where(valid[..., None], v, jnp.zeros((), flat.dtype))
+        v = jnp.where(valid.reshape(-1, 1), v, jnp.zeros((), flat.dtype))
     out = jnp.mean(
         v.reshape(K, P, n, P, n, C), axis=(2, 4), dtype=jnp.float32
     )
