@@ -44,7 +44,12 @@ class TestSinkhornPallas:
 
     def test_gagm_fused_continuous_exact(self):
         """Single continuous (pre-discretization) iteration is bit-exact,
-        including the transposed (nodes > universe) orientation and ragged ms."""
+        including the transposed (nodes > universe) orientation and ragged
+        ms.  The production composition (fused continuous rounds + exact
+        JV-LAP terminal round, graph/mgm.py) must match the pure-XLA solver
+        end to end."""
+        from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
+
         rng = np.random.RandomState(1)
         G, n, univ = 4, 12, 6
         T = G * n
@@ -55,7 +60,11 @@ class TestSinkhornPallas:
         kw = dict(quad_weight=0.5, mgm_iter=1, sk_tau0=0.1, sk_gamma=0.5,
                   min_tau=0.2)
         r = np.asarray(ga_gm(A, W, U0, ms, univ, **kw))
-        f = np.asarray(ga_gm_fused(A, W, U0, ms, univ, interpret=True, **kw))
+        f_cont = ga_gm_fused(A, W, U0, ms, univ, interpret=True,
+                             final_hungarian=False, **kw)
+        f = np.asarray(final_hungarian_round(A, W, f_cont, ms, univ,
+                                             quad_weight=0.5, mgm_iter=1,
+                                             tau=0.2))
         np.testing.assert_allclose(r, f, atol=1e-6)
 
     def test_parity_dummy_rows_and_masks(self):

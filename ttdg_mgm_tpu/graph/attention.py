@@ -80,7 +80,10 @@ class MultiHeadAttention(nn.Module):
         out = nn.Dense(self.model_dim, name="linear_final")(ctx)
         if self.dropout > 0.0 and not deterministic:
             out = nn.Dropout(rate=self.dropout)(out, deterministic=False)
-        out = nn.LayerNorm(name="layer_norm")(nodes + out)
+        # epsilon matches torch nn.LayerNorm (1e-5): these weights may be
+        # converted from reference .pth checkpoints, so the normalization
+        # must be bit-comparable.
+        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(nodes + out)
         attn = jnp.mean(attn, axis=-3)  # head average; exact for 1 head
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)

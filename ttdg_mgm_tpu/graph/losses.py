@@ -140,7 +140,7 @@ def ilp_attention_loss(pred_dsmat, gt_perm, src_ns=None, tgt_ns=None):
     where the Gurobi result enters as data.  Runs on-device via the
     Jonker-Volgenant LAP (``ops.lap.hungarian``) instead of Gurobi.
     """
-    from ttdg_mgm_tpu.ops.lap import hungarian
+    from ttdg_mgm_tpu.ops.lap import hungarian_auto
 
     p = jnp.clip(pred_dsmat.astype(jnp.float32), EPS, 1.0 - EPS)
     t = gt_perm.astype(jnp.float32)
@@ -150,7 +150,10 @@ def ilp_attention_loss(pred_dsmat, gt_perm, src_ns=None, tgt_ns=None):
     b, n1, n2 = p.shape
     src_ns = jnp.full((b,), n1, jnp.int32) if src_ns is None else jnp.asarray(src_ns)
     tgt_ns = jnp.full((b,), n2, jnp.int32) if tgt_ns is None else jnp.asarray(tgt_ns)
-    dis = jax.lax.stop_gradient(hungarian(p + 1.0, src_ns, tgt_ns))
+    # hungarian_auto handles rectangular instances in either orientation
+    # (src_ns > tgt_ns included), matching the reference's
+    # ILP_solver(dummy=True) contract on arbitrary shapes.
+    dis = jax.lax.stop_gradient(hungarian_auto(p + 1.0, src_ns, tgt_ns))
     ali = jnp.minimum(dis + t, 1.0)
     valid = (jnp.arange(n1)[None, :, None] < src_ns[:, None, None]) & (
         jnp.arange(n2)[None, None, :] < tgt_ns[:, None, None]

@@ -121,9 +121,24 @@ class MGM3Unsup(nn.Module):
                 sk_tau0=0.1, sk_gamma=0.5, min_tau=1e-2, tol=1e-3,
             )
             if fused:
+                from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
                 from ttdg_mgm_tpu.ops.pallas.gagm_pallas import ga_gm_fused
 
-                U_b = ga_gm_fused(A, Wds, U0, ms, self.univ_size, **solver_kw)
+                # VMEM kernel runs the long annealed Sinkhorn rounds; the
+                # short terminal Hungarian round runs outside with the exact
+                # JV-LAP (reference-faithful discretization — mutual argmax
+                # drops conflicted rows on weak-signal problems, measured in
+                # tests/test_torch_parity.py)
+                U_c = ga_gm_fused(
+                    A, Wds, U0, ms, self.univ_size,
+                    interpret=jax.default_backend() != "tpu",
+                    final_hungarian=False, **solver_kw,
+                )
+                U_b = final_hungarian_round(
+                    A, Wds, U_c, ms, self.univ_size,
+                    quad_weight=self.quad_weight, mgm_iter=200, sk_iter=20,
+                    tau=1e-2, tol=1e-3,
+                )
             else:
                 U_b = ga_gm(A, Wds, U0, ms, self.univ_size, **solver_kw)
             same_cluster = jnp.ones((G, G), bool)

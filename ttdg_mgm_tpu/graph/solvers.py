@@ -104,15 +104,17 @@ def hippi(W, U0, ms, n_univ: int, *, max_iter: int = 50, sk_iter: int = 20,
         i, U, _ = state
         WU = W @ U
         V = WU @ (U.T @ WU)
-        # scale guard: the universe path feeds W with the reference's 1e8
-        # adjacency scale (G_Universe cos_similarity quirk) and the cubic
-        # power step overflows float32; max-normalizing V only rescales the
-        # (already near-hard, tau=1/200) projection temperature, leaving the
-        # ranking - and thus the fixed point - unchanged.
-        V = V / jnp.maximum(jnp.max(jnp.abs(V)), 1e-30)
+        # float32 overflow guard with EXACT semantics: the Sinkhorn result
+        # depends only on V/tau, so dividing both V and tau by the same c is
+        # the identity.  c > 1 only when V nears the float32 ceiling (the
+        # universe path's 1e8 adjacency scale, cubed); normal-scale problems
+        # project the raw V at the raw tau, bit-comparable to the
+        # reference's torch path (multi_graph_matching.py:420-435) —
+        # torch-parity-tested in tests/test_torch_parity.py.
+        c = jnp.maximum(jnp.max(jnp.abs(V)) / 1e30, 1.0)
         U_new = _project_blocks(
-            V.reshape(G, M, n_univ), ms, n_univ, tau=sk_tau, sk_iter=sk_iter,
-            use_hungarian=False,
+            (V / c).reshape(G, M, n_univ), ms, n_univ, tau=sk_tau / c,
+            sk_iter=sk_iter, use_hungarian=False,
         ).reshape(T, n_univ)
         return i + 1, U_new, _fro(U_new - U)
 
@@ -121,7 +123,8 @@ def hippi(W, U0, ms, n_univ: int, *, max_iter: int = 50, sk_iter: int = 20,
 
 
 def _gagm_round(A, W, U0, ms, n_univ, cluster_weight, *, tau, sk_iter, max_iter,
-                tol, quad_weight, use_hungarian, num_graphs, M):
+                tol, quad_weight, use_hungarian, num_graphs, M,
+                exact_hungarian: bool = False):
     """One projector round of the GA power iteration
     (reference ``multi_graph_matching.py:300-389`` inner ``for`` loop)."""
     T = num_graphs * M
@@ -132,9 +135,13 @@ def _gagm_round(A, W, U0, ms, n_univ, cluster_weight, *, tau, sk_iter, max_iter,
             W * cluster_weight
         ) @ U
         V = V / num_graphs
+        # exact-rescale overflow guard (see hippi): identity unless V nears
+        # the float32 ceiling
+        c = jnp.maximum(jnp.max(jnp.abs(V)) / 1e30, 1.0)
         U_new = _project_blocks(
-            V.reshape(num_graphs, M, n_univ), ms, n_univ, tau=tau, sk_iter=sk_iter,
-            use_hungarian=use_hungarian,
+            (V / c).reshape(num_graphs, M, n_univ), ms, n_univ, tau=tau / c,
+            sk_iter=sk_iter, use_hungarian=use_hungarian,
+            exact_hungarian=exact_hungarian,
         ).reshape(T, n_univ)
         if num_graphs == 2:
             # reference pins graph 0 to identity in the 2-graph case (:358-359)
@@ -202,8 +209,37 @@ def ga_gm(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
               num_graphs=G, M=M)
     for tau in taus:
         U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau, use_hungarian=False, **kw)
-    U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1], use_hungarian=True, **kw)
+    # final hungarian round: the EXACT on-device JV-LAP, matching the
+    # reference's scipy Hungarian projection (:368,385); the fused Pallas
+    # kernel keeps the cheaper mutual-argmax rounding (ops/pallas).
+    U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1], use_hungarian=True,
+                    exact_hungarian=True, **kw)
     return U
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_univ", "quad_weight", "mgm_iter", "sk_iter", "tau",
+                     "tol"),
+)
+def final_hungarian_round(A, W, U, ms, n_univ: int, *, quad_weight: float = 1.0,
+                          mgm_iter: int = 200, sk_iter: int = 20,
+                          tau: float = 1e-2, tol: float = 1e-3):
+    """The GA solve's terminal Hungarian round (reference ``gagm`` with
+    ``projector='hungarian'``, ``:374-376``) with the EXACT on-device JV-LAP
+    projection — composed after ``ops.pallas.ga_gm_fused(...,
+    final_hungarian=False)`` so the VMEM kernel does the long annealed
+    Sinkhorn rounds and this short round discretizes reference-faithfully."""
+    A = jax.lax.stop_gradient(A).astype(jnp.float32)
+    W = jax.lax.stop_gradient(W).astype(jnp.float32)
+    U = jax.lax.stop_gradient(U).astype(jnp.float32)
+    G = ms.shape[0]
+    M = A.shape[0] // G
+    return _gagm_round(
+        A, W, U, ms, n_univ, jnp.ones_like(W), tau=tau, sk_iter=sk_iter,
+        max_iter=mgm_iter, tol=tol, quad_weight=quad_weight,
+        use_hungarian=True, exact_hungarian=True, num_graphs=G, M=M,
+    )
 
 
 def _cluster_affinity(A, W, U, ms, G, M, *, quad_weight: float = 1.0,
@@ -267,10 +303,11 @@ def ga_gm_mixture(A, W, U0, ms, n_univ: int, num_clusters: int, *,
         for tau in taus:
             U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau,
                             use_hungarian=False, **kw)
-        # hung_iter=False path: discretize the CURRENT U directly (:368-371)
+        # hung_iter=False path: exact-LAP discretization of the CURRENT U
+        # (reference ``[hungarian(_) for _ in U_list]``, :368-371)
         return _project_blocks(
             U.reshape(G, M, n_univ), ms, n_univ, tau=taus[-1], sk_iter=sk_iter,
-            use_hungarian=True,
+            use_hungarian=True, exact_hungarian=True,
         ).reshape(G * M, n_univ)
 
     U = run_rounds(U)

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from ttdg_mgm_tpu.ops.boxes import clip_boxes, decode_boxes, encode_boxes, pairwise_iou
 from ttdg_mgm_tpu.ops.nms import batched_nms_mask
-from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
 
 BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 

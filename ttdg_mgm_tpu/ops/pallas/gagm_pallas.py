@@ -50,7 +50,7 @@ def _taus(sk_tau0, sk_gamma, min_tau):
 
 
 def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
-                 sk_gamma, min_tau, tol):
+                 sk_gamma, min_tau, tol, final_hungarian):
     T = G * M
     taus = _taus(sk_tau0, sk_gamma, min_tau)
 
@@ -155,7 +155,8 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
         U = U_init
         for tau in taus:
             U = make_round(tau, False)(U)
-        U = make_round(taus[-1], True)(U)
+        if final_hungarian:
+            U = make_round(taus[-1], True)(U)
         out_ref[...] = U.astype(out_ref.dtype)
 
     return kernel
@@ -164,22 +165,33 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
 @functools.partial(
     jax.jit,
     static_argnames=("n_univ", "quad_weight", "mgm_iter", "sk_iter", "sk_tau0",
-                     "sk_gamma", "min_tau", "tol", "interpret"),
+                     "sk_gamma", "min_tau", "tol", "interpret",
+                     "final_hungarian"),
 )
 def ga_gm_fused(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
                 mgm_iter: int = 200, sk_iter: int = 20, sk_tau0: float = 0.1,
                 sk_gamma: float = 0.5, min_tau: float = 1e-2, tol: float = 1e-3,
-                interpret: bool = False):
-    """Drop-in for ``graph.solvers.ga_gm`` running entirely in VMEM."""
+                interpret: bool = False, final_hungarian: bool = True):
+    """Drop-in for ``graph.solvers.ga_gm`` running entirely in VMEM.
+
+    ``final_hungarian=True`` discretizes in-kernel by mutual argmax — equal
+    to the LAP only when the converged matrix is unambiguous.  For
+    reference-faithful results on weak-signal problems, pass
+    ``final_hungarian=False`` and run ``solvers.final_hungarian_round``
+    (exact on-device JV-LAP) on the returned continuous U — the production
+    composition in ``graph.mgm``."""
     A = jax.lax.stop_gradient(A).astype(jnp.float32)
     W = jax.lax.stop_gradient(W).astype(jnp.float32)
     U0 = jax.lax.stop_gradient(U0).astype(jnp.float32)
     G = ms.shape[0]
     T = A.shape[0]
     orig_M = T // G
-    # sublane-aligned per-graph blocks; lane axis wide enough for orientation
+    # sublane-aligned per-graph blocks; the row axis must also hold
+    # orientation A's dummy node-rows, which extend to n_univ when a graph
+    # has fewer nodes than universe slots (the reference pads the Sinkhorn
+    # problem square to n_univ rows); lane axis wide enough for orientation
     # B's dummy universe slots, 128-aligned
-    M = -(-orig_M // 8) * 8
+    M = -(-max(orig_M, n_univ) // 8) * 8
     L = -(-max(M, n_univ) // 128) * 128
     if M != orig_M:
         def pad_rows(x):
@@ -196,7 +208,7 @@ def ga_gm_fused(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
     kernel = _make_kernel(
         G, M, L, n_univ, quad_weight=quad_weight, mgm_iter=mgm_iter,
         sk_iter=sk_iter, sk_tau0=sk_tau0, sk_gamma=sk_gamma, min_tau=min_tau,
-        tol=tol,
+        tol=tol, final_hungarian=final_hungarian,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

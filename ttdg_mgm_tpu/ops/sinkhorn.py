@@ -48,14 +48,14 @@ def _masked_logsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau", "max_iter", "dummy_row", "unroll")
+    jax.jit, static_argnames=("max_iter", "dummy_row", "unroll")
 )
 def sinkhorn(
     s: jnp.ndarray,
     nrows: jnp.ndarray | None = None,
     ncols: jnp.ndarray | None = None,
     *,
-    tau: float = 1.0,
+    tau: float | jnp.ndarray = 1.0,  # traced: solvers rescale it jointly with s
     max_iter: int = 10,
     dummy_row: bool = False,
     unroll: int = 1,
