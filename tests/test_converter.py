@@ -178,11 +178,22 @@ class TestFullConversion:
         conv_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), converted)
         flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_shapes)[0])
         flat_conv = dict(jax.tree_util.tree_flatten_with_path(conv_shapes)[0])
-        missing = set(flat_ref) - set(flat_conv)
+        def name(path):
+            return "/".join(str(getattr(p, "key", p)) for p in path)
+
+        # the cross-domain head (reference GModule) is never constructed in
+        # the reference snapshot, so its weights cannot appear in reference
+        # checkpoints — it keeps its fresh init on load (merge is partial)
+        missing = {k for k in set(flat_ref) - set(flat_conv)
+                   if not name(k).startswith("cross_domain")}
         extra = set(flat_conv) - set(flat_ref)
-        assert not missing, f"converter missing params: {sorted(missing)[:10]}"
-        assert not extra, f"converter produced unknown params: {sorted(extra)[:10]}"
-        for k in flat_ref:
+        assert not missing, (
+            f"converter missing params: {sorted(name(k) for k in missing)[:10]}"
+        )
+        assert not extra, (
+            f"converter produced unknown params: {sorted(name(k) for k in extra)[:10]}"
+        )
+        for k in flat_conv:
             assert flat_ref[k] == flat_conv[k], (k, flat_ref[k], flat_conv[k])
 
     def test_caffe2_imagenet_backbone(self):

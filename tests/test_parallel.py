@@ -1,0 +1,129 @@
+"""Data parallelism on the 8-device virtual CPU mesh (conftest forces it).
+
+The reference's only parallelism is DDP (SURVEY.md section 2.2); the
+TPU-native equivalent is a 1-axis data mesh with replicated state and
+sharded batches.  These tests prove the claim end-to-end: the SAME jitted
+step run on a sharded batch + replicated state produces the same losses and
+parameters as the single-device run, and the trainers wire the mesh in.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step, make_tta_step
+from ttdg_mgm_tpu.models import MaskRCNN
+from ttdg_mgm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ttdg_mgm_tpu.solver.build import build_optimizer
+
+
+def tiny_model():
+    return MaskRCNN(
+        num_classes=2, univ_size=8, node_cap_per_level=4,
+        pre_nms_topk_train=64, pre_nms_topk_test=64, post_nms_topk=32,
+        detections_per_image=8, batch_size_per_image=32, mask_fg_cap=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    B, H, W = 8, 64, 64
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
+    sizes = jnp.tile(jnp.asarray([[float(H), float(W)]]), (B, 1))
+    params = model.init(jax.random.PRNGKey(0), images[:1], sizes[:1])["params"]
+    tx = build_optimizer(params, lambda _: 0.01)
+    batch = {
+        "image": images,
+        "image_sizes": sizes,
+        "gt_boxes": jnp.tile(
+            jnp.asarray([[[8.0, 8.0, 40.0, 40.0], [16.0, 16.0, 48.0, 48.0]]]),
+            (B, 1, 1),
+        ),
+        "gt_classes": jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (B, 1)),
+        "gt_masks": jnp.ones((B, 2, 32, 32), jnp.uint8),
+        "gt_valid": jnp.ones((B, 2), bool),
+    }
+    return model, tx, params, batch
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8  # conftest contract
+
+
+def _fresh_state(params, tx):
+    # the jitted steps DONATE the state buffers; never let them share storage
+    # with the module-scoped fixture params
+    return TrainState.create(jax.tree.map(jnp.copy, params), tx)
+
+
+def test_source_step_parity_8dev(setup):
+    model, tx, params, batch = setup
+    rng = jax.random.PRNGKey(1)
+
+    step = make_source_step(model, tx)
+    s1, m1 = step(_fresh_state(params, tx), batch, rng)
+    m1 = {k: float(v) for k, v in m1.items()}
+
+    mesh = make_mesh(jax.devices())
+    state = replicate(mesh, _fresh_state(params, tx))
+    sharded = shard_batch(mesh, batch)
+    s8, m8 = step(state, sharded, replicate(mesh, rng))
+    m8 = {k: float(v) for k, v in m8.items()}
+
+    for k in m1:
+        assert np.isfinite(m8[k]), k
+        np.testing.assert_allclose(m8[k], m1[k], rtol=2e-4, atol=1e-5, err_msg=k)
+    # updated params match the single-device step; tolerance absorbs the
+    # cross-device psum's float32 reduction-order noise (observed max
+    # ~2e-3 relative on ~1e-5-magnitude gradient elements)
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-5)
+
+
+def test_tta_step_parity_8dev(setup):
+    model, tx, params, batch = setup
+    step = make_tta_step(model, tx)
+    dev = {"image": batch["image"], "image_sizes": batch["image_sizes"]}
+
+    _, l1 = step(_fresh_state(params, tx), dict(dev))
+
+    mesh = make_mesh(jax.devices())
+    state = replicate(mesh, _fresh_state(params, tx))
+    _, l8 = step(state, shard_batch(mesh, dict(dev)))
+    assert np.isfinite(float(l8))
+    np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4, atol=1e-5)
+
+
+def test_trainer_uses_mesh(setup, tmp_path, monkeypatch):
+    """BaselineTrainer with mesh: state replicated, sharded TTA step runs."""
+    from ttdg_mgm_tpu.engine.trainer import BaselineTrainer
+
+    model, tx, params, batch = setup
+    mesh = make_mesh(jax.devices())
+    trainer = BaselineTrainer(model, tx, jax.tree.map(jnp.copy, params),
+                              canvas=64, min_size=64, max_size=64, mesh=mesh)
+    # replicated state: every leaf fully addressable & replicated
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    dev = trainer._put_batch({"image": np.asarray(batch["image"]),
+                              "image_sizes": np.asarray(batch["image_sizes"])})
+    assert not dev["image"].sharding.is_fully_replicated  # sharded over data
+    trainer.state, loss = trainer._tta_step(trainer.state, dev)
+    assert np.isfinite(float(loss))
+
+    with pytest.raises(AssertionError):
+        trainer._put_batch({"image": np.zeros((3, 64, 64, 3), np.float32)})
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip entry runs on the virtual mesh."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

@@ -138,6 +138,45 @@ class TestMeanTeacher:
             rtol=1e-5, atol=1e-7,
         )
 
+    def test_mt_step_with_cross_domain(self):
+        """The cross-domain graph-matching term (reference intent at
+        ``trainer.py:929``) is wired into the MT step: losses are finite,
+        the EMA class centers update, and the combined loss decreases."""
+        model = tiny_model()
+        sup = synth_batch(jax.random.PRNGKey(4))
+        batch = {
+            "label_strong": sup["image"], "label_weak": sup["image"],
+            "label_sizes": sup["image_sizes"],
+            "gt_boxes": sup["gt_boxes"], "gt_classes": sup["gt_classes"],
+            "gt_masks": sup["gt_masks"], "gt_valid": sup["gt_valid"],
+            "unlabel_strong": sup["image"] + 5.0,
+            "unlabel_weak": sup["image"] + 5.0,
+            "unlabel_sizes": sup["image_sizes"],
+        }
+        params = model.init(jax.random.PRNGKey(0), sup["image"][:1],
+                            sup["image_sizes"][:1])["params"]
+        from ttdg_mgm_tpu.solver.build import warmup_multistep_schedule
+
+        tx = build_optimizer(
+            params, warmup_multistep_schedule(1e-3, (10000,), warmup_iters=5,
+                                              warmup_factor=0.1))
+        state = TrainState.create(params, tx)
+        teacher = jax.tree.map(jnp.copy, params)
+        centers = jnp.zeros((model.num_classes + 1, 256))
+        step = make_mt_step(model, tx, gt_cap=2, with_cross_domain=True)
+        rng = jax.random.PRNGKey(5)
+        totals = []
+        for it in range(8):
+            rng, sub = jax.random.split(rng)
+            state, centers, aux = step(state, teacher, centers, batch, sub)
+            for k, v in aux.items():
+                assert np.isfinite(float(v)), (it, k, float(v))
+            totals.append(float(aux["total_loss"]))
+        assert "loss_cross_matching" in aux and "loss_node_cls" in aux
+        # source GT nodes exist -> the EMA class centers moved off zero
+        assert float(jnp.abs(centers).max()) > 0.0
+        assert totals[-1] < totals[0], totals
+
     def test_threshold_pseudo_labels(self):
         det = {
             "boxes": jnp.ones((1, 4, 4)),

@@ -60,16 +60,30 @@ def main():
         print(json.dumps(results, indent=2))
         return results
 
+    from ttdg_mgm_tpu.checkpoint.save import Checkpointer
+
+    ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    # the reference CLI forces resume (train_net.py:92 sets args.resume=True):
+    # restore the full train state from the latest checkpoint when present
+    trainer.resume_or_load(ckpt)
+    hooks = trainer.default_hooks(
+        checkpointer=ckpt,
+        checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD,
+        output_dir=cfg.OUTPUT_DIR,
+    )
+    if cfg.TEST.EVAL_PERIOD > 0 and cfg.DATASETS.TEST:
+        from ttdg_mgm_tpu.engine.hooks import LossEvalHook
+
+        hooks.append(LossEvalHook(trainer, cfg.DATASETS.TEST[0],
+                                  cfg.TEST.EVAL_PERIOD))
     trainer.train(
         cfg.DATASETS.TRAIN,
         max_iter=cfg.SOLVER.MAX_ITER,
         batch_size=cfg.SOLVER.IMS_PER_BATCH,
         seed=cfg.SEED,
+        hooks=hooks,
     )
-    from ttdg_mgm_tpu.checkpoint.save import Checkpointer
-
-    ckpt = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
-    ckpt.save(int(trainer.state.step), {"params": trainer.state.params}, wait=True)
+    ckpt.save(int(trainer.state.step), trainer.state_dict(), wait=True)
 
 
 if __name__ == "__main__":

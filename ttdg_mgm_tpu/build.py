@@ -108,6 +108,21 @@ def _merge_params(params, loaded):
     return merge(params, loaded)
 
 
+def build_mesh(cfg: CfgNode):
+    """Data-parallel device mesh per ``TPU.MESH_SHAPE`` (the reference's
+    d2 ``launch``/DDP equivalent, SURVEY.md section 2.2).  ``None`` on a
+    single device — the steps are mesh-polymorphic either way."""
+    from ttdg_mgm_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    shape = list(cfg.TPU.MESH_SHAPE)
+    model_axis = shape[1] if len(shape) == 2 and shape[1] > 0 else 1
+    n_data = shape[0] if shape and shape[0] > 0 else len(devices) // model_axis
+    return make_mesh(devices[: n_data * model_axis], model_axis=model_axis)
+
+
 def build_trainer(cfg: CfgNode, *, seed: int = 0):
     """Trainer dispatch by ``SEMISUPNET.Trainer`` (reference
     ``train_net.py:39-44``: "baseline" vs "ateacher")."""
@@ -126,6 +141,7 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
         min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST,
         gt_cap=cfg.TPU.MAX_GT_PER_IMAGE,
+        mesh=build_mesh(cfg),
     )
     if cfg.SEMISUPNET.Trainer == "ateacher":
         return ATeacherTrainer(
@@ -136,6 +152,7 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
             unsup_weight=cfg.SEMISUPNET.UNSUP_LOSS_WEIGHT,
             dis_weight=cfg.SEMISUPNET.DIS_LOSS_WEIGHT,
             pseudo_threshold=cfg.SEMISUPNET.BBOX_THRESHOLD,
+            cross_domain=cfg.SEMISUPNET.CROSS_DOMAIN_MATCHING,
             **common,
         )
     return BaselineTrainer(model, tx, params, **common)

@@ -356,6 +356,10 @@ def get_cfg() -> CfgNode:
     c.SEMISUPNET.DIS_TYPE = "res4"
     c.SEMISUPNET.DIS_LOSS_WEIGHT = 0.1
     c.SEMISUPNET.TTT = False
+    # cross-domain graph matching in the mean-teacher step (the reference's
+    # broken intent at trainer.py:929 / GModule graph_matching.py:597-721,
+    # implemented correctly; SURVEY.md section 0)
+    c.SEMISUPNET.CROSS_DOMAIN_MATCHING = False
 
     c.EMAMODEL = CfgNode()
     c.EMAMODEL.SUP_CONSIST = True

@@ -37,16 +37,27 @@ class ATeacherTrainer(BaselineTrainer):
     def __init__(self, model, tx, params, *, ema_keep_rate: float = 0.9996,
                  teacher_update_iter: int = 1, burn_up_step: int = 0,
                  unsup_weight: float = 1.0, dis_weight: float = 0.1,
-                 pseudo_threshold: float = 0.8, **kw):
+                 pseudo_threshold: float = 0.8, cross_domain: bool = False,
+                 **kw):
         super().__init__(model, tx, params, **kw)
-        self.teacher_params = jax.tree.map(jnp.copy, params)
+        # Replicated across the mesh like the student; only ever updated by
+        # the deterministic EMA step, never re-broadcast (the DDP
+        # broadcast_buffers=False semantics, SURVEY.md section 5.8).
+        self.teacher_params = self._put_replicated(jax.tree.map(jnp.copy, params))
         self.ema_keep_rate = ema_keep_rate
         self.teacher_update_iter = teacher_update_iter
         self.burn_up_step = burn_up_step
         self._burnin_step = make_source_step(model, tx, loss_weight=0.1)
+        self.cross_domain = cross_domain
+        # EMA class centers for the cross-domain head (functional state,
+        # the reference GModule's "graph-guided memory bank")
+        self.centers = self._put_replicated(
+            jnp.zeros((model.num_classes + 1, 256))
+        ) if cross_domain else None
         self._mt_step = make_mt_step(
             model, tx, unsup_weight=unsup_weight, dis_weight=dis_weight,
             pseudo_threshold=pseudo_threshold, gt_cap=self.gt_cap,
+            with_cross_domain=cross_domain,
         )
 
     def train_semisup(self, label_names, unlabel_names, *, max_iter: int,
@@ -60,8 +71,9 @@ class ATeacherTrainer(BaselineTrainer):
         rng = jax.random.PRNGKey(seed)
         for it in range(int(self.state.step), max_iter):
             batch = next(loader)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = self._put_batch(batch)
             rng, sub = jax.random.split(rng)
+            sub = self._put_replicated(sub)
             if it < self.burn_up_step:
                 sup_batch = {
                     "image": batch["label_strong"],
@@ -81,15 +93,33 @@ class ATeacherTrainer(BaselineTrainer):
                         self.teacher_params, self.state.params,
                         jnp.float32(self.ema_keep_rate),
                     )
-                self.state, metrics = self._mt_step(
-                    self.state, self.teacher_params, batch, sub
-                )
+                if self.cross_domain:
+                    self.state, self.centers, metrics = self._mt_step(
+                        self.state, self.teacher_params, self.centers, batch, sub
+                    )
+                else:
+                    self.state, metrics = self._mt_step(
+                        self.state, self.teacher_params, batch, sub
+                    )
+            for h in hooks:
+                h(it, metrics)
             if it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.info("iter %d: %s", it, {k: round(v, 4) for k, v in m.items()})
-                for h in hooks:
-                    h(it, m)
         return self.state
+
+    def state_dict(self) -> dict:
+        """Student state + EMA teacher (the reference checkpoints the
+        ``EnsembleTSModel``, SURVEY.md section 5.4)."""
+        d = super().state_dict()
+        d["teacher_params"] = self.teacher_params
+        return d
+
+    def load_state_dict(self, tree: dict):
+        teacher = tree.pop("teacher_params", None)
+        super().load_state_dict(tree)
+        if teacher is not None:
+            self.teacher_params = self._put_replicated(teacher)
 
     def test(self, dataset_names, *, eval_student: bool = False, **kw):
         """Evaluate the teacher (default) or student (``TEST.EVAL_STU``),

@@ -107,7 +107,8 @@ def threshold_pseudo_labels(detections, *, threshold: float = 0.8,
 
 
 def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.1,
-                 pseudo_threshold: float = 0.8, gt_cap: int = 20) -> Callable:
+                 pseudo_threshold: float = 0.8, gt_cap: int = 20,
+                 with_cross_domain: bool = False) -> Callable:
     """Mean-teacher semi-supervised step — the *intended* semantics of the
     reference's ``run_step_full_semisup`` (``trainer.py:782-961``),
     implemented correctly where the snapshot is broken (SURVEY.md section 0):
@@ -116,12 +117,17 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
     - student: supervised loss on labeled data + pseudo-supervised loss on
       strong unlabeled crops (pseudo box-regression weighted 0, reference
       ``:932-953``) + GRL domain loss on weak crops,
+    - with ``with_cross_domain``: the cross-domain graph-matching losses
+      (reference intent at ``trainer.py:929``, weight 1 like every
+      non-pseudo loss in the reference's weighting at ``:932-953``), with
+      the EMA class centers as explicit functional state —
+      ``step(state, teacher, centers, batch, rng) -> (state, centers, aux)``,
     - one SGD update; the EMA teacher update is a separate call
       (``ema_update``) as in the reference's update-every-iter hook.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, teacher_params, batch, rng):
+    def step(state: TrainState, teacher_params, centers, batch, rng):
         teacher_det = model.apply(
             {"params": teacher_params}, batch["unlabel_weak"],
             batch["unlabel_sizes"], method=model.proposals_weak,
@@ -130,7 +136,7 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
             teacher_det, threshold=pseudo_threshold, max_boxes=gt_cap,
         )
 
-        rng_sup, rng_unsup = jax.random.split(rng)
+        rng_sup, rng_unsup, rng_cd = jax.random.split(rng, 3)
 
         def loss_fn(params):
             sup = model.apply(
@@ -158,13 +164,38 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
             aux = dict(sup)
             aux.update({k + "_pseudo": v for k, v in unsup.items()})
             aux.update(dom)
-            return total, aux
+            new_centers = centers
+            if with_cross_domain:
+                cd, new_centers = model.apply(
+                    {"params": params},
+                    batch["label_strong"], batch["label_sizes"],
+                    batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+                    batch["unlabel_strong"], batch["unlabel_sizes"],
+                    p_boxes, p_classes, p_valid,
+                    centers, completion_rng=rng_cd,
+                    method=model.loss_cross_domain,
+                )
+                total = total + sum(cd.values())
+                aux.update(cd)
+            return total, (aux, new_centers)
 
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (total, (aux, new_centers)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         aux["total_loss"] = total
-        return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), aux
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        if with_cross_domain:
+            return new_state, new_centers, aux
+        return new_state, aux
 
+    if not with_cross_domain:
+        # keep the 4-arg (state, teacher, batch, rng) signature for the
+        # plain MT path
+        def plain(state, teacher_params, batch, rng):
+            return step(state, teacher_params, None, batch, rng)
+
+        return plain
     return step

@@ -66,6 +66,10 @@ def evaluate_dataset(model, params, dataset_name: str, *, canvas: int = 800,
     loader = build_test_loader(dataset_name, batch_size=batch_size,
                                canvas=canvas, min_size=min_size, max_size=max_size)
     evaluator = DiceEvaluator(dataset_name, dice_threshold)
+    # Parse the dataset ONCE and index records by image_id — the catalog
+    # loader re-reads the COCO JSON on every .get(), which made the old
+    # per-image lookup O(N^2) in host work.
+    records_by_id = {r["image_id"]: r for r in DatasetCatalog.get(dataset_name)}
 
     @jax.jit
     def infer(p, image, sizes):
@@ -85,10 +89,7 @@ def evaluate_dataset(model, params, dataset_name: str, *, canvas: int = 800,
         t2 = time.perf_counter()
         for b, meta in enumerate(metas[: metas[0]["n_real"]]):
             out = postprocess_detections(det, meta, b)
-            record = next(
-                r for r in DatasetCatalog.get(dataset_name)
-                if r["image_id"] == meta["image_id"]
-            )
+            record = records_by_id[meta["image_id"]]
             gt_masks = [
                 segmentation_to_mask(a["segmentation"], record["height"],
                                      record["width"])
@@ -137,7 +138,7 @@ class BaselineTrainer:
 
     def __init__(self, model, tx, params, *, canvas: int = 800,
                  min_size: int = 800, max_size: int = 1333,
-                 gt_cap: int = 20, mask_res: int = 256):
+                 gt_cap: int = 20, mask_res: int = 256, mesh=None):
         self.model = model
         self.tx = tx
         self.state = TrainState.create(params, tx)
@@ -146,12 +147,97 @@ class BaselineTrainer:
         self.max_size = max_size
         self.gt_cap = gt_cap
         self.mask_res = mask_res
+        # Data-parallel mesh (the reference's DDP, SURVEY.md section 2.2/5.8):
+        # state replicated, batches sharded over the 'data' axis; the jitted
+        # steps are mesh-polymorphic, XLA inserts the gradient psum.
+        self.mesh = mesh
+        if mesh is not None:
+            from ttdg_mgm_tpu.parallel.mesh import replicate
+
+            self.state = replicate(mesh, self.state)
         self._source_step = make_source_step(model, tx)
         self._tta_step = make_tta_step(model, tx)
         self.last_tta_loss = 0.0
 
+    def _put_batch(self, batch: dict) -> dict:
+        """Host batch -> device: shard the leading axis over the mesh's
+        'data' axis (DDP's per-rank batch split), or plain transfer."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from ttdg_mgm_tpu.parallel.mesh import shard_batch
+
+            n_data = self.mesh.shape["data"]
+            b = next(iter(batch.values())).shape[0]
+            assert b % n_data == 0, (
+                f"global batch {b} not divisible by data-mesh size {n_data} "
+                "(the reference's d2 loader asserts the same for DDP, "
+                "data/build.py:241-255)"
+            )
+            batch = shard_batch(self.mesh, batch)
+        return batch
+
+    def _put_replicated(self, tree):
+        if self.mesh is not None:
+            from ttdg_mgm_tpu.parallel.mesh import replicate
+
+            return replicate(self.mesh, tree)
+        return tree
+
+    # ---------------- checkpoint / resume (reference trainer.py:233-257) ---
+    def state_dict(self) -> dict:
+        """Everything a restart needs: params + optimizer state + iteration
+        (reference checkpoint contents, SURVEY.md section 5.4)."""
+        return {"step": self.state.step, "params": self.state.params,
+                "opt_state": self.state.opt_state}
+
+    def load_state_dict(self, tree: dict):
+        self.state = self._put_replicated(
+            TrainState(step=jnp.asarray(tree["step"], jnp.int32),
+                       params=tree["params"], opt_state=tree["opt_state"])
+        )
+
+    def resume_or_load(self, checkpointer) -> bool:
+        """Restore the full train state from the latest checkpoint if one
+        exists (reference ``resume_or_load`` semantics, ``trainer.py:233-257``;
+        the CLI forces resume like reference ``train_net.py:92``).  Returns
+        True when resumed; otherwise the state keeps the weights the trainer
+        was constructed with (``MODEL.WEIGHTS`` via the converter)."""
+        restored, resumed = checkpointer.resume_or_load(self.state_dict())
+        if resumed:
+            self.load_state_dict(restored)
+            logger.info("resumed from checkpoint at iteration %d",
+                        int(self.state.step))
+        return resumed
+
+    def default_hooks(self, *, checkpointer=None, checkpoint_period: int = 0,
+                      output_dir: str | None = None, log_every: int = 20):
+        """The hook set the reference trainers register
+        (``trainer.py:352-392``): anomaly guard (SURVEY.md section 5.2),
+        periodic full-state checkpointing, and JSON+terminal writers."""
+        from ttdg_mgm_tpu.engine.hooks import (
+            AnomalyDetectionHook,
+            PeriodicCheckpointHook,
+            WriterHook,
+        )
+        from ttdg_mgm_tpu.utils.events import EventStorage, JSONWriter, TerminalWriter
+
+        hooks = [AnomalyDetectionHook(period=log_every)]
+        if checkpointer is not None and checkpoint_period > 0:
+            hooks.append(PeriodicCheckpointHook(checkpointer, self,
+                                                checkpoint_period))
+        if output_dir is not None:
+            import os
+
+            storage = EventStorage(int(self.state.step))
+            writers = [JSONWriter(os.path.join(output_dir, "metrics.json")),
+                       TerminalWriter()]
+            hooks.append(WriterHook(storage, writers, period=log_every))
+        return hooks
+
     def train(self, dataset_names, *, max_iter: int, batch_size: int = 8,
               seed: int = 0, log_every: int = 20, hooks=()):
+        """Hooks are invoked EVERY iteration with the device metrics dict
+        (they sync at their own period); see ``default_hooks``."""
         loader = build_train_loader(
             dataset_names, batch_size=batch_size, canvas=self.canvas,
             min_size=self.min_size, max_size=self.max_size,
@@ -161,13 +247,15 @@ class BaselineTrainer:
         for it in range(int(self.state.step), max_iter):
             batch = next(loader)
             rng, sub = jax.random.split(rng)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, metrics = self._source_step(self.state, batch, sub)
+            batch = self._put_batch(batch)
+            self.state, metrics = self._source_step(
+                self.state, batch, self._put_replicated(sub)
+            )
+            for h in hooks:
+                h(it, metrics)
             if it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.info("iter %d: %s", it, {k: round(v, 4) for k, v in m.items()})
-                for h in hooks:
-                    h(it, m)
         return self.state
 
     def test(self, dataset_names, *, ttt: bool = True, tta_batch: int = 4,
@@ -194,8 +282,8 @@ class BaselineTrainer:
                 for idx, (batch, metas) in enumerate(loader):
                     if min_batch_num is not None and idx >= min_batch_num:
                         break
-                    dev = {"image": jnp.asarray(batch["image"]),
-                           "image_sizes": jnp.asarray(batch["image_sizes"])}
+                    dev = self._put_batch({"image": batch["image"],
+                                           "image_sizes": batch["image_sizes"]})
                     state, loss = self._tta_step(state, dev)
                 if loss is not None:
                     self.last_tta_loss = float(loss)

@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ttdg_mgm_tpu.graph.cross_domain import CrossDomainGraphHead
 from ttdg_mgm_tpu.graph.mgm import MGM3Unsup
 from ttdg_mgm_tpu.graph.node_sampler import PrototypeComputation
 from ttdg_mgm_tpu.graph.universe import USup
@@ -99,6 +100,7 @@ class MaskRCNN(nn.Module):
         self.D_img = FCDiscriminatorImg(256)
         self.multi_matching_sup = USup(self.num_classes, self.univ_size)
         self.multi_matching_unsup = MGM3Unsup(self.num_classes, self.univ_size)
+        self.cross_domain = CrossDomainGraphHead(self.num_classes)
         self.graph_generator = PrototypeComputation(
             self.num_classes, self.sample_dist, self.node_cap_per_level
         )
@@ -320,6 +322,40 @@ class MaskRCNN(nn.Module):
             )
         return losses
 
+    def loss_cross_domain(self, images_s, image_sizes_s, boxes_s, classes_s,
+                          valid_s, images_t, image_sizes_t, boxes_t, classes_t,
+                          valid_t, centers, completion_rng=None):
+        """Cross-domain graph-matching branch for the mean-teacher step — the
+        reference's intent at ``trainer.py:929``:
+        ``graph_matching(None, (features_source, features_target),
+        targets=(labeled, pseudo-labeled))`` with the SIGMA-style ``GModule``
+        (``graph_matching.py:597-721``), never wired in the snapshot.
+
+        Source nodes come from GT boxes on the labeled strong crops; target
+        nodes from teacher pseudo-boxes on the unlabeled strong crops.  Each
+        domain's per-image node sets are flattened into one node set (the
+        reference GModule also aggregates nodes per domain across the batch).
+        Returns ``(losses dict, new EMA class centers)``."""
+        feats_s = self.extract_features(images_s)
+        feats_t = self.extract_features(images_t)
+        ns, ls, ms_ = self.graph_generator(
+            self._feature_list(feats_s), boxes_s, classes_s.astype(jnp.int32),
+            valid_s,
+        )
+        nt, lt, mt_ = self.graph_generator(
+            self._feature_list(feats_t), boxes_t, classes_t.astype(jnp.int32),
+            valid_t,
+        )
+
+        def flat(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        return self.cross_domain(
+            flat(ns).astype(jnp.float32), flat(ls), flat(ms_),
+            flat(nt).astype(jnp.float32), flat(lt), flat(mt_),
+            centers, completion_rng=completion_rng,
+        )
+
     def loss_domain(self, images_source, images_target, image_sizes_s=None,
                     image_sizes_t=None):
         """``domain`` branch (reference ``rcnn.py:187-216``): gradient-reversed
@@ -346,4 +382,10 @@ class MaskRCNN(nn.Module):
         dummy_mask = jnp.ones((2, 4), bool)
         _ = self.multi_matching_sup(dummy_nodes, dummy_labels, dummy_mask, self.U)
         _ = self.multi_matching_unsup(dummy_nodes, dummy_labels, dummy_mask, self.U)
+        # completion_rng given so the seed-projection params exist at init
+        _ = self.cross_domain(
+            dummy_nodes[0], dummy_labels[0], dummy_mask[0],
+            dummy_nodes[1], dummy_labels[1], dummy_mask[1],
+            completion_rng=jax.random.PRNGKey(0),
+        )
         return out
