@@ -18,3 +18,15 @@ import jax  # noqa: E402
 # is initialized so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the 1-core host spends most of the suite's
+# wall clock re-compiling identical XLA programs across pytest processes.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ttdg_jax_cache_cputest"))
+    # XLA:CPU reports sub-second compile times even for programs whose
+    # end-to-end jit (trace+lower+compile) takes minutes — cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # older jax without these flags
+    pass

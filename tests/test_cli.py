@@ -61,8 +61,16 @@ class TestCLI:
             "TEST.BATCH", "2", "TEST.MIN_BATCH_NUM", "1",
             "TEST.DICE_THRES", "0.0",
         ]
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            # persistent compile cache: the subprocess spends nearly all its
+            # time compiling; warm runs finish in well under 2 minutes
+            JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
+                "~/.cache/ttdg_jax_cache_cputest"),
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+            JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES="all",
+        )
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
                              env=env, cwd=REPO)
         assert res.returncode == 0, res.stderr[-3000:]

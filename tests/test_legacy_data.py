@@ -225,3 +225,91 @@ class TestCityscapesRegistration:
         )
         for n in ("cityscapes_foggy_train", "cityscapes_foggy_val", "cityscapes_foggy_test"):
             DatasetCatalog.remove(n)
+
+
+class TestLegacyRegistrations:
+    def test_register_all_legacy(self, tmp_path):
+        """Reference builtin.py:32-183 registrations exist and are lazy."""
+        from ttdg_mgm_tpu.data.builtin import register_all_legacy
+        from ttdg_mgm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+
+        for n in ("coco_2017_unlabel", "coco_2017_for_voc20",
+                  "cityscapes_foggy_train", "cityscapes_foggy_val",
+                  "cityscapes_foggy_test", "Clipart1k_train",
+                  "Clipart1k_test", "Watercolor_train", "Watercolor_test"):
+            DatasetCatalog.remove(n)
+        register_all_legacy(str(tmp_path))
+        names = DatasetCatalog.list()
+        assert "coco_2017_unlabel" in names
+        assert "cityscapes_foggy_train" in names
+        assert "Clipart1k_test" in names
+        assert MetadataCatalog.get("Watercolor_test")["evaluator_type"] == (
+            "pascal_voc_water")
+
+    def test_coco_unlabel_loader(self, tmp_path):
+        import json
+
+        from ttdg_mgm_tpu.data.builtin import _load_images_only_json
+
+        j = tmp_path / "info.json"
+        j.write_text(json.dumps({"images": [
+            {"id": 2, "file_name": "b.jpg", "height": 10, "width": 20},
+            {"id": 1, "file_name": "a.jpg", "height": 30, "width": 40},
+        ]}))
+        recs = _load_images_only_json(str(j), str(tmp_path))
+        assert [r["image_id"] for r in recs] == [1, 2]  # sorted, like d2
+        assert recs[0]["annotations"] == []
+
+
+class TestVocLoader:
+    def test_load_and_register(self, tmp_path):
+        import os
+
+        from ttdg_mgm_tpu.data.datasets.pascal_voc import (
+            load_voc_instances,
+            register_pascal_voc,
+        )
+
+        d = tmp_path / "clipart"
+        (d / "ImageSets" / "Main").mkdir(parents=True)
+        (d / "Annotations").mkdir()
+        (d / "JPEGImages").mkdir()
+        (d / "ImageSets" / "Main" / "train.txt").write_text("img1\n")
+        (d / "Annotations" / "img1.xml").write_text(
+            """<annotation><size><width>100</width><height>80</height>
+            <depth>3</depth></size>
+            <object><name>dog</name><difficult>0</difficult>
+            <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>50</xmax>
+            <ymax>60</ymax></bndbox></object>
+            <object><name>unknownthing</name>
+            <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>5</xmax>
+            <ymax>5</ymax></bndbox></object>
+            </annotation>"""
+        )
+        recs = load_voc_instances(str(d), "train")
+        assert len(recs) == 1 and recs[0]["height"] == 80
+        anns = recs[0]["annotations"]
+        assert len(anns) == 1  # unknown class dropped
+        assert anns[0]["bbox"] == [10.0, 20.0, 50.0, 60.0]  # 1-indexed -> 0
+        assert anns[0]["category_id"] == 11  # 'dog' in VOC 20-class order
+
+        from ttdg_mgm_tpu.data.catalog import DatasetCatalog
+
+        DatasetCatalog.remove("_voc_fixture")
+        register_pascal_voc("_voc_fixture", str(d), "train")
+        assert len(DatasetCatalog.get("_voc_fixture")) == 1
+
+
+class TestLegacyConfigs:
+    def test_legacy_configs_parse(self):
+        import os
+
+        from ttdg_mgm_tpu.config import setup_cfg
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = setup_cfg(os.path.join(repo, "configs/test_detection.yaml"), [])
+        assert cfg.MODEL.MASK_ON is False
+        assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 7
+        assert cfg.SOLVER.LR_SCHEDULER_NAME == "WarmupTwoStageMultiStepLR"
+        cfg2 = setup_cfg(os.path.join(repo, "configs/Base-RCNN-C4.yaml"), [])
+        assert cfg2.MODEL.RPN.PRE_NMS_TOPK_TEST == 6000

@@ -64,3 +64,76 @@ def register_all_medical(root: str | None = None, force: bool = False):
             name, os.path.join(root, json_rel), os.path.join(root, img_rel)
         )
     _registered = True
+
+
+def _load_images_only_json(json_file: str, image_root: str) -> list[dict]:
+    """Image records without annotations (reference
+    ``load_coco_unlabel_json``, ``builtin.py:75-108``)."""
+    import json
+
+    with open(json_file) as f:
+        coco = json.load(f)
+    return [
+        {
+            "file_name": os.path.join(image_root, img["file_name"]),
+            "height": img["height"],
+            "width": img["width"],
+            "image_id": img["id"],
+            "annotations": [],
+        }
+        for img in sorted(coco["images"], key=lambda im: im["id"])
+    ]
+
+
+def register_all_legacy(root: str | None = None):
+    """Legacy DA-benchmark registrations (reference ``builtin.py:32-183``):
+    COCO-2017 unlabeled (image-only records for semi-supervised training),
+    foggy-cityscapes instance splits, and the Clipart1k / Watercolor
+    Pascal-VOC-format splits."""
+    root = root or os.environ.get("DETECTRON2_DATASETS",
+                                  os.environ.get("TTDG_DATASETS", "datasets"))
+    from ttdg_mgm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from ttdg_mgm_tpu.data.datasets.cityscapes_foggy import (
+        CITYSCAPES_THING_CLASSES,
+        load_cityscapes_foggy_instances,
+    )
+    from ttdg_mgm_tpu.data.datasets.pascal_voc import register_pascal_voc
+
+    # COCO unlabeled (reference builtin.py:19-38)
+    for name, (image_root, json_file) in {
+        "coco_2017_unlabel": ("coco/unlabeled2017",
+                              "coco/annotations/image_info_unlabeled2017.json"),
+        "coco_2017_for_voc20": (
+            "coco", "coco/annotations/google/instances_unlabeledtrainval20class.json"
+        ),
+    }.items():
+        DatasetCatalog.register(
+            name,
+            lambda j=os.path.join(root, json_file),
+            i=os.path.join(root, image_root): _load_images_only_json(j, i),
+        )
+        MetadataCatalog.get(name)["evaluator_type"] = "coco"
+
+    # foggy cityscapes (reference builtin.py:115-154)
+    for split in ("train", "val", "test"):
+        name = f"cityscapes_foggy_{split}"
+        img_dir = os.path.join(root, f"cityscapes_foggy/leftImg8bit/{split}")
+        gt_dir = os.path.join(root, f"cityscapes_foggy/gtFine/{split}")
+        DatasetCatalog.register(
+            name,
+            lambda i=img_dir, g=gt_dir: load_cityscapes_foggy_instances(i, g),
+        )
+        meta = MetadataCatalog.get(name)
+        meta["thing_classes"] = list(CITYSCAPES_THING_CLASSES)
+        meta["evaluator_type"] = "coco"
+
+    # Clipart1k / Watercolor (reference builtin.py:157-183)
+    for name, dirname, split in (
+        ("Clipart1k_train", "clipart", "train"),
+        ("Clipart1k_test", "clipart", "test"),
+        ("Watercolor_train", "watercolor", "train"),
+        ("Watercolor_test", "watercolor", "test"),
+    ):
+        register_pascal_voc(name, os.path.join(root, dirname), split)
+        if name.startswith("Watercolor"):
+            MetadataCatalog.get(name)["evaluator_type"] = "pascal_voc_water"

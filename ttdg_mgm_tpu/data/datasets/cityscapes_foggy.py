@@ -88,7 +88,11 @@ def _file_to_dict(pair):
             "category_id": _LABEL_TO_CONTIGUOUS[label],
             "raw_category_id": _RAW_ID[label],
             "segmentation": [poly],
-            "iscrowd": 0,
+            # '...group' polygons are crowd regions (reference
+            # cityscapes_foggy.py:228): ignore regions in eval, not GT
+            # instances — the class mapping still collapses onto the
+            # instance class.
+            "iscrowd": 1 if obj["label"].endswith("group") else 0,
         })
     return record
 

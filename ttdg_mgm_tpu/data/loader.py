@@ -21,6 +21,9 @@ fit (identical to d2 for near-square medical images).
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
 from PIL import Image
 
@@ -36,6 +39,45 @@ from ttdg_mgm_tpu.utils.rle import polygons_to_mask, segmentation_to_mask
 
 def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
+
+
+class _Prefetcher:
+    """Background-thread prefetch (depth >= 2): image decode / resize / mask
+    rasterization overlap the device step instead of running inline between
+    steps (the reference overlaps via DataLoader worker processes; a thread
+    suffices here because PIL decode and NumPy resize release the GIL).
+    Exceptions in the producer re-raise in the consumer."""
+
+    _DONE = object()
+
+    def __init__(self, gen, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._thread = threading.Thread(target=self._run, args=(gen,), daemon=True)
+        self._thread.start()
+
+    def _run(self, gen):
+        try:
+            for item in gen:
+                self._q.put(("item", item))
+        except BaseException as e:  # noqa: BLE001 - reraised on the consumer
+            self._q.put(("err", e))
+        else:
+            self._q.put(("done", self._DONE))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        kind, val = self._q.get()
+        if kind == "item":
+            return val
+        if kind == "err":
+            raise val
+        raise StopIteration
+
+
+def _maybe_prefetch(gen, depth: int):
+    return _Prefetcher(gen, depth) if depth > 0 else gen
 
 
 def prepare_sample(record: dict, *, canvas: int = 800, min_size: int = 800,
@@ -127,7 +169,7 @@ def pack_batch(samples: list[dict], *, canvas: int = 800, gt_cap: int = 20,
 def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
                        min_size: int = 800, max_size: int = 1333,
                        gt_cap: int = 20, mask_res: int = 256, seed: int = 0,
-                       flip_prob: float = 0.5):
+                       flip_prob: float = 0.5, prefetch: int = 2):
     """Infinite shuffled supervised loader (reference ``build.py:65-118``)."""
     records = []
     for name in dataset_names:
@@ -148,12 +190,12 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
                 yield pack_batch(samples, canvas=canvas, gt_cap=gt_cap,
                                  mask_res=mask_res)
 
-    return gen()
+    return _maybe_prefetch(gen(), prefetch)
 
 
 def build_test_loader(dataset_name: str, *, batch_size: int = 1,
                       canvas: int = 800, min_size: int = 800,
-                      max_size: int = 1333):
+                      max_size: int = 1333, prefetch: int = 2):
     """Sequential test loader; ``batch_size = TEST.BATCH`` while adapting
     (reference ``build.py:141-146``), else 1.  Yields (batch, metas); the
     last partial batch repeats its final sample to keep shapes static
@@ -175,13 +217,14 @@ def build_test_loader(dataset_name: str, *, batch_size: int = 1,
             metas = [dict(s, n_real=n_real) for s in samples]
             yield batch, metas
 
-    return gen()
+    return _maybe_prefetch(gen(), prefetch)
 
 
 def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
                           canvas: int = 800, min_size: int = 800,
                           max_size: int = 1333, gt_cap: int = 20,
-                          mask_res: int = 256, seed: int = 0):
+                          mask_res: int = 256, seed: int = 0,
+                          prefetch: int = 2):
     """Two-crop semi-supervised loader (reference ``build.py:158-228`` +
     ``DatasetMapperTwoCropSeparate``): weak and strong views share geometry;
     yields the 4-tuple batch dict for the mean-teacher step."""
@@ -223,4 +266,4 @@ def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
                 "unlabel_sizes": us_b["image_sizes"],
             }
 
-    return gen()
+    return _maybe_prefetch(gen(), prefetch)
