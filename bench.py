@@ -1,121 +1,195 @@
 """Benchmark: TTA throughput (images/sec/chip) of the donated-buffer jitted
-adaptation step on the flagship Mask R-CNN R50-FPN.
+adaptation step on the flagship Mask R-CNN R50-FPN, at the REFERENCE
+configuration: 800px canvas, TEST.BATCH=4 (reference ``test_segment.yaml``
+INPUT.MIN_SIZE_TEST=800 + TEST.BATCH=4), with the matching path ACTIVE
+inside the measured step — the weights are warmed by a short synthetic
+source training so detections carry interior FCOS-positive locations and
+the MGM solve runs for real (no composite accounting).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Extras: the 512px number (round-over-round comparability with BENCH_r01),
+Sinkhorn ms/iter (BASELINE.md first-class kernel metric), and
+matching_active evidence.
 
-The reference's TTA loop runs ~6 separate CUDA launches + a CPU scipy
-Hungarian round trip per batch (SURVEY.md section 3.1); no published
-baseline number exists (BASELINE.md), so ``vs_baseline`` reports the ratio
-against the recorded value in ``bench_baseline.json`` when present (our own
-round-over-round record), else 0.0.
+``vs_baseline`` honesty: the reference repo publishes NO throughput number
+and no A100 is reachable from this machine (BASELINE.md), so the ratio is
+against OUR recorded 800px number in ``bench_baseline.json`` (the
+round-over-round record; the 512px round-1 record is reported alongside).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+WARM_STEPS = 120
+WARM_SIZE = 320  # warmup resolution: conv weights are resolution-agnostic
+
+
+def synth_batch(np, size: int, B: int, seed: int = 0, with_gt: bool = True,
+                mask_res: int = 128):
+    """Bright-disc images (+ GT) — structure a warmed detector actually
+    detects, so the bench's TTA matching path is active on-distribution."""
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(20, 45, (B, size, size, 3)).astype(np.float32)
+    boxes = np.zeros((B, 2, 4), np.float32)
+    classes = np.zeros((B, 2), np.int32)
+    valid = np.zeros((B, 2), bool)
+    masks = np.zeros((B, 2, mask_res, mask_res), np.uint8)
+    for b in range(B):
+        for k in range(2):
+            r = rng.randint(size // 10, size // 5)
+            cx = rng.randint(r + 2, size - r - 2)
+            cy = rng.randint(r + 2, size - r - 2)
+            yy, xx = np.mgrid[:size, :size]
+            disc = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            imgs[b][disc] = [210 - 40 * k, 170, 150 + 30 * k]
+            boxes[b, k] = (cx - r, cy - r, cx + r, cy + r)
+            classes[b, k] = k
+            valid[b, k] = True
+            sc = mask_res / size
+            ym, xm = np.mgrid[:mask_res, :mask_res]
+            masks[b, k] = ((ym - cy * sc) ** 2 + (xm - cx * sc) ** 2
+                           <= (r * sc) ** 2).astype(np.uint8)
+    sizes = np.full((B, 2), float(size), np.float32)
+    out = {"image": imgs, "image_sizes": sizes}
+    if with_gt:
+        out.update(gt_boxes=boxes, gt_classes=classes, gt_valid=valid,
+                   gt_masks=masks)
+    return out
+
+
+def warm_params(model, params, np, jnp, jax):
+    """~100 source-training steps on synthetic discs (cached on disk keyed by
+    the param-tree signature) so the bench measures a detector whose TTA
+    matching path is active, like an eval run from a real checkpoint."""
+    import flax.serialization as fser
+
+    sig = hashlib.sha1(
+        str(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)).encode()
+        + f"v2:{WARM_STEPS}x{WARM_SIZE}".encode()
+    ).hexdigest()[:16]
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"warm_{sig}.msgpack")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return fser.from_bytes(params, f.read())
+
+    from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step
+    from ttdg_mgm_tpu.solver.build import build_optimizer, warmup_multistep_schedule
+
+    wtx = build_optimizer(
+        params, warmup_multistep_schedule(2.5e-3, (100000,), warmup_iters=20,
+                                          warmup_factor=0.1)
+    )
+    state = TrainState.create(jax.tree.map(jnp.copy, params), wtx)
+    step = make_source_step(model, wtx)
+    rng = jax.random.PRNGKey(0)
+    for it in range(WARM_STEPS):
+        batch = {k: jnp.asarray(v)
+                 for k, v in synth_batch(np, WARM_SIZE, 4, seed=it).items()}
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+    float(metrics["total_loss"])  # sync + abort check
+    warmed = jax.device_get(state.params)
+    with open(path, "wb") as f:
+        f.write(fser.to_bytes(warmed))
+    return warmed
+
+
+def measure_step(step, state, batch, *, n_iters=5, n_reps=6, jitter_key="image"):
+    """Min-of-reps timing with one device->host sync per rep (orders the
+    timeline AND raises on a worker abort; per-step syncs charge ~20 ms
+    tunnel RTT each — see round-1 notes)."""
+    dt = float("inf")
+    loss = None
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            b = dict(batch)
+            b[jitter_key] = batch[jitter_key] + i
+            state, loss = step(state, b)
+        lv = float(loss)
+        dt = min(dt, (time.perf_counter() - t0) / n_iters)
+    return dt, lv, state
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ttdg_mgm_tpu.engine.steps import TrainState, make_tta_step
     from ttdg_mgm_tpu.models import MaskRCNN
     from ttdg_mgm_tpu.solver.build import build_optimizer
 
-    B, H, W = 4, 512, 512  # reference TTA batch (TEST.BATCH=4, test_segment.yaml)
-    # bf16 compute policy is the TPU production path (10x MXU throughput over
-    # f32 measured on-chip; matching solvers stay f32 internally)
+    # bf16 compute policy is the TPU production path; matching solvers stay
+    # f32 internally (ops/sinkhorn.py, graph/solvers.py)
     model = MaskRCNN(num_classes=2, compute_dtype="bfloat16")
-
     rng = jax.random.PRNGKey(0)
-    init_imgs = jnp.zeros((1, 64, 64, 3))
-    params = model.init(rng, init_imgs, jnp.asarray([[64.0, 64.0]]))["params"]
-    tx = build_optimizer(params, lambda _: 0.005)
-    state = TrainState.create(params, tx)
-
-    images = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
-    sizes = jnp.tile(jnp.asarray([[float(H), float(W)]]), (B, 1))
-    batch = {"image": images, "image_sizes": sizes}
+    params = model.init(rng, jnp.zeros((1, 64, 64, 3)),
+                        jnp.asarray([[64.0, 64.0]]))["params"]
+    params = warm_params(model, params, np, jnp, jax)
+    tx = build_optimizer(params, lambda _: 0.0025)
 
     step = make_tta_step(model, tx)
-    state, loss = step(state, batch)  # compile + warmup
-    float(loss)
+    results = {}
+    losses = {}
+    for size in (800, 512):
+        raw = synth_batch(np, size, 4, seed=99, with_gt=False)
+        batch = {"image": jnp.asarray(raw["image"]),
+                 "image_sizes": jnp.asarray(raw["image_sizes"])}
+        state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        state, loss = step(state, dict(batch))  # compile + warmup
+        float(loss)
+        dt, lv, _ = measure_step(step, state, batch)
+        results[size] = 4.0 / dt
+        losses[size] = lv
 
-    # Measurement honesty (two hard-won lessons about the axon TPU tunnel):
-    # 1. ``jax.block_until_ready`` can return without raising after a worker
-    #    abort, making a block-synced loop report dispatch-only times.  Sync
-    #    with a device->host scalar copy (``float``) — it orders the timeline
-    #    AND raises loudly if the computation aborted.
-    # 2. The tunnel device is shared: identical programs vary >10x with
-    #    contention.  Take the best of several reps — the min is the honest
-    #    capability number; the mean measures other tenants.
-    # Sync once per rep, not per step: the reference's TTA loop never reads
-    # the loss back between batches, and on the axon tunnel a per-step
-    # device->host scalar read charges a ~20 ms round-trip latency to every
-    # step (measured 91 vs 70 ms/step).  The rep-end float() still orders
-    # the timeline and raises loudly on a worker abort.
-    n_iters, n_reps = 5, 6
-    losses = [float(loss)]  # warmup loss: matching-active evidence pre-decay
-    dt_step = float("inf")
-    for rep in range(n_reps):
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            state, loss = step(state, {"image": images + i, "image_sizes": sizes})
-        losses.append(float(loss))
-        dt_step = min(dt_step, (time.perf_counter() - t0) / n_iters)
-    matching_active = any(l != 0.0 for l in losses)
+    # Sinkhorn kernel ms/iter (BASELINE.md first-class metric): the TTA
+    # pairwise projection shape — batch of (4x4) pair problems, 100x100
+    # node matrices, 20 iterations
+    from ttdg_mgm_tpu.ops.sinkhorn import sinkhorn_project
 
-    # A cold (random-init) detector can yield detections with no interior
-    # FCOS-positive locations -> empty node sets -> the matching solver takes
-    # its converged fast path.  Only in that case, charge the step with a
-    # fully-loaded matching pass (G=B graphs x 100 nodes, the sampler's cap)
-    # so the reported number reflects the real TTA workload.
-    from ttdg_mgm_tpu.graph.mgm import MGM3Unsup
+    G, M, IT = 4, 100, 20
+    s = jax.random.normal(jax.random.PRNGKey(1), (G, G, M, M))
+    ms_r = jnp.full((G, G), M, jnp.int32)
+    f = jax.jit(lambda x: sinkhorn_project(x, ms_r, ms_r, tau=0.05, max_iter=IT))
+    float(jnp.sum(f(s)))
+    t0 = time.perf_counter()
+    reps = 20
+    for i in range(reps):
+        out = f(s + 0.001 * i)
+    float(jnp.sum(out))
+    sk_ms_per_iter = (time.perf_counter() - t0) / reps / IT * 1000.0
 
-    G, M, D = B, 100, 256
-    rng2 = jax.random.PRNGKey(1)
-    nodes = jax.random.normal(rng2, (G, M, D))
-    nmask = jnp.ones((G, M), bool)
-    nlabels = (jnp.arange(M)[None] % 2 + 1) * jnp.ones((G, 1), jnp.int32)
-    mgm = MGM3Unsup(num_classes=2, univ_size=32, dim=D)
-    mp = mgm.init(rng2, nodes, nlabels, nmask, jax.random.normal(rng2, (32, D)))
-    Umat = jax.random.normal(rng2, (32, D))
-    dt_mgm = 0.0
-    if not matching_active:
-        mgm_vg = jax.jit(jax.value_and_grad(
-            lambda n: mgm.apply(mp, n, nlabels, nmask, Umat)))
-        float(mgm_vg(nodes)[0])
-        dt_mgm = float("inf")
-        for rep in range(n_reps):
-            t0 = time.perf_counter()
-            for i in range(n_iters):
-                out = mgm_vg(nodes + 0.001 * i)[0]
-            float(out)  # rep-end sync: orders timeline, raises on abort
-            dt_mgm = min(dt_mgm, (time.perf_counter() - t0) / n_iters)
-
-    imgs_per_sec = B / (dt_step + dt_mgm)
-    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs = 0.0
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    base = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f).get("tta_images_per_sec_per_chip", 0.0)
-        if base > 0:
-            vs = imgs_per_sec / base
+            base = json.load(f)
+    base_800 = base.get("tta_images_per_sec_per_chip_800px", 0.0)
+    vs = results[800] / base_800 if base_800 else 0.0
     print(json.dumps({
         "metric": "tta_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
+        "value": round(results[800], 3),
         "unit": "images/s",
         "vs_baseline": round(vs, 3),
+        "config": "800px canvas, TEST.BATCH=4, warmed weights, single step",
+        "img_per_sec_512": round(results[512], 3),
+        "sinkhorn_ms_per_iter": round(sk_ms_per_iter, 4),
+        "matching_active": bool(losses[800] != 0.0),
+        "tta_loss_800": losses[800],
     }))
 
 
 def _main_with_retry():
     """The axon TPU worker can abort mid-run (rare, transient); an abort
-    poisons the in-process backend, so retry in a FRESH process — a fresh
-    process usually recovers (.claude/skills/verify gotchas)."""
+    poisons the in-process backend, so retry in a FRESH process."""
     try:
         main()
     except Exception as e:  # noqa: BLE001 - any backend abort
