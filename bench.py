@@ -70,7 +70,7 @@ def warm_params(model, params, np, jnp, jax):
 
     sig = hashlib.sha1(
         str(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)).encode()
-        + f"v2:{WARM_STEPS}x{WARM_SIZE}".encode()
+        + f"v3:{WARM_STEPS}x{WARM_SIZE}".encode()
     ).hexdigest()[:16]
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"warm_{sig}.msgpack")
@@ -81,9 +81,13 @@ def warm_params(model, params, np, jnp, jax):
     from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step
     from ttdg_mgm_tpu.solver.build import build_optimizer, warmup_multistep_schedule
 
+    # LR 1e-3 with a 40-iter warmup: 2.5e-3 diverged to NaN around iter ~60
+    # in bf16 (and float(nan) does NOT raise, so the old end-of-run sync
+    # never caught it); the periodic finite check below makes any future
+    # divergence loud instead of silently caching a NaN detector.
     wtx = build_optimizer(
-        params, warmup_multistep_schedule(2.5e-3, (100000,), warmup_iters=20,
-                                          warmup_factor=0.1)
+        params, warmup_multistep_schedule(1e-3, (100000,), warmup_iters=40,
+                                          warmup_factor=0.05)
     )
     state = TrainState.create(jax.tree.map(jnp.copy, params), wtx)
     step = make_source_step(model, wtx)
@@ -93,7 +97,11 @@ def warm_params(model, params, np, jnp, jax):
                  for k, v in synth_batch(np, WARM_SIZE, 4, seed=it).items()}
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, sub)
-    float(metrics["total_loss"])  # sync + abort check
+        if it % 20 == 19 or it == WARM_STEPS - 1:
+            lv = float(metrics["total_loss"])  # sync + abort check
+            if not np.isfinite(lv):
+                raise RuntimeError(
+                    f"bench warmup diverged: total_loss={lv} at iter {it}")
     warmed = jax.device_get(state.params)
     with open(path, "wb") as f:
         f.write(fser.to_bytes(warmed))

@@ -59,12 +59,21 @@ class TestSinkhornPallas:
         ms = jnp.asarray([n - (g % 2) for g in range(G)], jnp.int32)
         kw = dict(quad_weight=0.5, mgm_iter=1, sk_tau0=0.1, sk_gamma=0.5,
                   min_tau=0.2)
-        r = np.asarray(ga_gm(A, W, U0, ms, univ, **kw))
+        # continuous rounds: fused VMEM kernel vs pure-XLA, no discretization
+        # (comparing post-LAP 0/1 matrices on random data is chaotic — any
+        # sub-1e-6 numeric difference flips tie assignments)
+        r_cont = np.asarray(ga_gm(A, W, U0, ms, univ, final_hungarian=False,
+                                  **kw))
         f_cont = ga_gm_fused(A, W, U0, ms, univ, interpret=True,
                              final_hungarian=False, **kw)
-        f = np.asarray(final_hungarian_round(A, W, f_cont, ms, univ,
-                                             quad_weight=0.5, mgm_iter=1,
-                                             tau=0.2))
+        np.testing.assert_allclose(r_cont, np.asarray(f_cont), atol=1e-4)
+        # production composition: continuous rounds + terminal exact-LAP
+        # round equals the monolithic solver when fed the same continuous
+        # state
+        r = np.asarray(ga_gm(A, W, U0, ms, univ, **kw))
+        f = np.asarray(final_hungarian_round(A, W, jnp.asarray(r_cont), ms,
+                                             univ, quad_weight=0.5,
+                                             tau=0.05))
         np.testing.assert_allclose(r, f, atol=1e-6)
 
     def test_parity_dummy_rows_and_masks(self):
@@ -76,3 +85,77 @@ class TestSinkhornPallas:
         b = sinkhorn_pallas(s, nrows, ncols, tau=0.05, max_iter=20,
                             dummy_row=True, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestWindowedRoiPool:
+    """Windowed-DMA pooler (interpret mode) vs the XLA gather pooler."""
+
+    def _feats(self, rng, B, sizes, C=32, dtype=np.float32):
+        return [jnp.asarray(rng.randn(B, h, w, C).astype(dtype))
+                for h, w in sizes]
+
+    def test_parity_random(self):
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed)
+        from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+        rng = np.random.RandomState(0)
+        B, K, C = 2, 12, 32
+        sizes = [(64, 64), (32, 32), (16, 16), (8, 8)]
+        feats = self._feats(rng, B, sizes, C)
+        # compact boxes across scales, incl. near-border
+        wh = rng.uniform(8, 120, (B, K, 2)).astype(np.float32)
+        xy = rng.uniform(-4, 250, (B, K, 2)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_windowed(
+            feats, rois, output_size=7, interpret=True)
+        want = jax.vmap(lambda fs, b: multilevel_roi_align(
+            fs, b, output_size=7, pack_corners=False))(feats, rois)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    def test_misfit_fallback_elongated(self):
+        """Aspect-extreme ROIs exceed the 32-wide window; the budgeted
+        gather fallback must keep them exact."""
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed)
+        from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+        rng = np.random.RandomState(1)
+        B, K, C = 1, 8, 32
+        sizes = [(64, 64), (32, 32), (16, 16), (8, 8)]
+        feats = self._feats(rng, B, sizes, C)
+        rois = np.array([[[2, 3, 250, 18],      # 248x15 -> p2, 62-wide window
+                          [5, 10, 20, 200],     # tall    -> misfit in y
+                          [0, 0, 40, 40],
+                          [100, 100, 140, 150],
+                          [1, 1, 230, 20],
+                          [30, 2, 60, 30],
+                          [8, 8, 9, 9],
+                          [0, 0, 255, 255]]], np.float32)
+        rois = jnp.asarray(rois)
+        got = multilevel_roi_align_windowed(
+            feats, rois, output_size=7, misfit_budget=4, interpret=True)
+        want = jax.vmap(lambda fs, b: multilevel_roi_align(
+            fs, b, output_size=7, pack_corners=False))(feats, rois)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    def test_mask_pool_14(self):
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed)
+        from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+        rng = np.random.RandomState(2)
+        B, K, C = 1, 6, 32
+        sizes = [(48, 64), (24, 32), (12, 16), (8, 8)]
+        feats = self._feats(rng, B, sizes, C)
+        wh = rng.uniform(6, 90, (B, K, 2)).astype(np.float32)
+        xy = rng.uniform(0, 150, (B, K, 2)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = multilevel_roi_align_windowed(
+            feats, rois, output_size=14, interpret=True)
+        want = jax.vmap(lambda fs, b: multilevel_roi_align(
+            fs, b, output_size=14, pack_corners=False))(feats, rois)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)

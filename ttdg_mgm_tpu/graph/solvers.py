@@ -172,12 +172,13 @@ def _gagm_round(A, W, U0, ms, n_univ, cluster_weight, *, tau, sk_iter, max_iter,
     jax.jit,
     static_argnames=(
         "n_univ", "quad_weight", "mgm_iter", "sk_iter", "sk_tau0", "sk_gamma",
-        "min_tau", "tol",
+        "min_tau", "tol", "hung_iter_cap", "final_hungarian",
     ),
 )
 def ga_gm(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
           mgm_iter: int = 200, sk_iter: int = 20, sk_tau0: float = 0.1,
-          sk_gamma: float = 0.5, min_tau: float = 1e-2, tol: float = 1e-3):
+          sk_gamma: float = 0.5, min_tau: float = 1e-2, tol: float = 1e-3,
+          hung_iter_cap: int = 200, final_hungarian: bool = True):
     """Graduated-Assignment multi-graph matching, single-cluster path.
 
     A: ``(G*M, G*M)`` block-diagonal intra-graph adjacency; W: ``(G*M, G*M)``
@@ -209,11 +210,17 @@ def ga_gm(A, W, U0, ms, n_univ: int, *, quad_weight: float = 1.0,
               num_graphs=G, M=M)
     for tau in taus:
         U = _gagm_round(A, W, U, ms, n_univ, ones, tau=tau, use_hungarian=False, **kw)
-    # final hungarian round: the EXACT on-device JV-LAP, matching the
-    # reference's scipy Hungarian projection (:368,385); the fused Pallas
-    # kernel keeps the cheaper mutual-argmax rounding (ops/pallas).
-    U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1], use_hungarian=True,
-                    exact_hungarian=True, **kw)
+    if final_hungarian:
+        # final hungarian round: the EXACT on-device JV-LAP, matching the
+        # reference's scipy Hungarian projection (:368,385).  The iteration
+        # budget must MATCH the reference's (200): on degenerate problems the
+        # hard-projection fixed point is chaotic and never converges, and
+        # parity then means cutting the (deterministic) orbit at the same
+        # iteration — measured in tests/test_torch_parity.py.  hung_iter_cap
+        # is a speed knob for callers that can trade that tail away.
+        U = _gagm_round(A, W, U, ms, n_univ, ones, tau=taus[-1],
+                        use_hungarian=True, exact_hungarian=True,
+                        **{**kw, "max_iter": hung_iter_cap})
     return U
 
 

@@ -53,6 +53,10 @@ from ttdg_mgm_tpu.models.rpn import (
     level_anchors,
     rpn_losses,
 )
+from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+    multilevel_roi_align_windowed,
+    use_windowed_pool,
+)
 from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
 
 # d2 defaults (Base-RCNN-FPN): caffe-era pixel stats, RGB format quirk kept
@@ -154,6 +158,14 @@ class MaskRCNN(nn.Module):
         (corner-packed rows) for differentiated training pools only — see
         ``multilevel_roi_align``."""
         pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+        if not pack and use_windowed_pool():
+            # forward-only pools on TPU: windowed-DMA Pallas kernel (the
+            # gather formulation is row-transaction-bound; see
+            # ops/pallas/roi_pool_pallas.py).  Gradient-free by design —
+            # these call sites feed stop_gradient-ed detections only.
+            return multilevel_roi_align_windowed(
+                pool_feats, boxes, output_size=output_size
+            )
         return jax.vmap(
             lambda fs, b: multilevel_roi_align(
                 fs, b, output_size=output_size, pack_corners=pack

@@ -78,9 +78,12 @@ def _lap_single(cost: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndar
                 done = (nxt < 0) | (steps + 1 >= nc)
                 return (u, v, minv, way, used, jnp.where(done, i0, nxt), j1, done, j1, steps + 1)
 
+            # rows past n1 start `done` (the vmapped `lax.cond` below lowers
+            # to a select that runs this branch for every lane, so the guard
+            # must live in the loop state, not in python control flow)
             st = (
                 u, v, minv0, way0, used0, i,
-                jnp.int32(-1), jnp.array(False), jnp.int32(-1), jnp.int32(0),
+                jnp.int32(-1), i >= n1, jnp.int32(-1), jnp.int32(0),
             )
             u, v, _, way, _, _, _, _, j_free, _ = jax.lax.while_loop(cond, step, st)
 
@@ -97,13 +100,16 @@ def _lap_single(cost: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndar
                 return (p, jnp.maximum(jp, 0), (jp < 0) | (steps + 1 >= nc), steps + 1)
 
             p, _, _, _ = jax.lax.while_loop(
-                aug_cond, aug_step, (p, j_free, jnp.array(False), jnp.int32(0))
+                aug_cond, aug_step, (p, j_free, j_free < 0, jnp.int32(0))
             )
             return (u, v, p)
 
         return jax.lax.cond(i < n1, do, lambda c: c, (u, v, p))
 
-    _, _, p = jax.lax.fori_loop(0, nr, assign_row, (u0, v0, p0))
+    # dynamic upper bound: under vmap this becomes a while_loop that stops
+    # updating a lane's carry once its own n1 rows are assigned, so padded
+    # rows cost nothing instead of running cap-limited garbage searches
+    _, _, p = jax.lax.fori_loop(0, jnp.minimum(n1, nr), assign_row, (u0, v0, p0))
 
     col4row = jnp.full((nr,), -1, jnp.int32)
     col4row = col4row.at[jnp.where(p >= 0, p, nr)].set(col_ids, mode="drop")
@@ -149,9 +155,26 @@ def hungarian_auto(
     n = max(nr, nc)
     pad = [(0, 0)] * (s.ndim - 2) + [(0, n - nr), (0, n - nc)]
     sq = jnp.pad(s, pad)
-    fwd = hungarian(sq, n1, n2)
-    bwd = jnp.swapaxes(hungarian(jnp.swapaxes(sq, -1, -2), n2, n1), -1, -2)
-    out = jnp.where((n1 <= n2)[..., None, None], fwd, bwd)
+
+    def fwd(_):
+        return hungarian(sq, n1, n2)
+
+    def bwd(_):
+        return jnp.swapaxes(hungarian(jnp.swapaxes(sq, -1, -2), n2, n1), -1, -2)
+
+    def mixed(_):
+        return jnp.where((n1 <= n2)[..., None, None], fwd(None), bwd(None))
+
+    # orientation is almost always uniform across the batch (GA-GM projects
+    # every graph onto the same universe size), so dispatch on a SCALAR
+    # predicate: lax.cond executes one branch, halving the sequential LAP
+    # work vs solving both orientations and selecting.
+    out = jax.lax.cond(
+        jnp.all(n1 <= n2),
+        fwd,
+        lambda _: jax.lax.cond(jnp.all(n1 > n2), bwd, mixed, None),
+        None,
+    )
     return out[..., :nr, :nc]
 
 
