@@ -197,18 +197,29 @@ def main():
 
 def _main_with_retry():
     """The axon TPU worker can abort mid-run (rare, transient); an abort
-    poisons the in-process backend, so retry in a FRESH process."""
+    poisons the in-process backend, so retry in a FRESH process.  A tunnel
+    outage at startup ("Unable to initialize backend ... UNAVAILABLE") is
+    also transient — wait it out with a few spaced fresh-process retries
+    rather than failing the whole bench run."""
     try:
         main()
     except Exception as e:  # noqa: BLE001 - any backend abort
-        if os.environ.get("TTDG_BENCH_RETRY"):
-            raise
         import subprocess
         import sys
 
-        print(f"# bench aborted ({type(e).__name__}: {e}); retrying in a "
-              "fresh process", file=sys.stderr)
-        env = dict(os.environ, TTDG_BENCH_RETRY="1")
+        attempt = int(os.environ.get("TTDG_BENCH_RETRY", "0"))
+        init_outage = "Unable to initialize backend" in str(e)
+        max_attempts = 6 if init_outage else 1
+        if attempt >= max_attempts:
+            raise
+        if init_outage:
+            print(f"# TPU tunnel down ({e}); retry {attempt + 1}/"
+                  f"{max_attempts} in 150 s", file=sys.stderr)
+            time.sleep(150)
+        else:
+            print(f"# bench aborted ({type(e).__name__}: {e}); retrying in a "
+                  "fresh process", file=sys.stderr)
+        env = dict(os.environ, TTDG_BENCH_RETRY=str(attempt + 1))
         raise SystemExit(subprocess.call([sys.executable, __file__], env=env))
 
 

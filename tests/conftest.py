@@ -19,14 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
-# Persistent compilation cache: the 1-core host spends most of the suite's
-# wall clock re-compiling identical XLA programs across pytest processes.
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/ttdg_jax_cache_cputest"))
-    # XLA:CPU reports sub-second compile times even for programs whose
-    # end-to-end jit (trace+lower+compile) takes minutes — cache everything
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:  # older jax without these flags
-    pass
+# NOTE: no persistent compilation cache here, deliberately.  On this
+# jaxlib's XLA:CPU backend a cross-process cache HIT on a serialized
+# executable SIGABRTs the process ("Fatal Python error: Aborted" inside
+# block_until_ready, no XLA message) — reproduced deterministically with
+# the 8-device-mesh source-step executable: fresh-cache run passes and
+# writes entries, the next identical run loads one and dies.  The AOT
+# kernel variant (jax_persistent_cache_enable_xla_caches="all") is worse:
+# entries embed pseudo machine features (+prefer-no-gather/-scatter) that
+# the loader rejects on the SAME host.  Cold compiles are slow but correct.

@@ -15,6 +15,7 @@ def tiny(dtype):
         pre_nms_topk_train=64, pre_nms_topk_test=64, post_nms_topk=32,
         detections_per_image=8, batch_size_per_image=16, mask_fg_cap=8,
         compute_dtype=dtype,
+        resnet_depth=14, gagm_iters=20, hippi_iters=10,
     )
 
 

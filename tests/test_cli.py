@@ -60,18 +60,28 @@ class TestCLI:
             "MODEL.GRAPH.MAX_NODES", "20",
             "TEST.BATCH", "2", "TEST.MIN_BATCH_NUM", "1",
             "TEST.DICE_THRES", "0.0",
+            # shrink the solver orbits: eager mode pays per-iteration
+            # dispatch, and this test checks wiring, not convergence
+            "MODEL.GRAPH.GAGM_ITERS", "8",
+            "MODEL.GRAPH.HIPPI_ITERS", "5",
+            "MODEL.GRAPH.SK_ITERS", "5",
+            "MODEL.RESNETS.DEPTH", "14",
         ]
         env = dict(
             os.environ, JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=1",
-            # persistent compile cache: the subprocess spends nearly all its
-            # time compiling; warm runs finish in well under 2 minutes
-            JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
-                "~/.cache/ttdg_jax_cache_cputest"),
-            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
-            JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES="all",
+            # Eager (op-by-op) execution: the full CLI graph cold-compiles in
+            # >20 min on this 1-core host (XLA:CPU), and any source change
+            # invalidates the persistent compile cache — a subprocess
+            # end-to-end must not depend on a warm cache to fit CI.  Eager
+            # runs the identical numerics and exercises everything this test
+            # is for (config, registry, loaders, trainer dispatch, TTA loop,
+            # evaluator, result_ap.txt); the jitted step/inference paths are
+            # covered in-process by test_train_integration/test_parallel and
+            # the driver's __graft_entry__ checks.
+            JAX_DISABLE_JIT="1",
         )
-        res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
                              env=env, cwd=REPO)
         assert res.returncode == 0, res.stderr[-3000:]
         result_file = out_dir / "result_ap.txt"

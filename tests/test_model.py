@@ -20,6 +20,11 @@ def tiny_model(**kw):
         detections_per_image=8,
         batch_size_per_image=16,
         mask_fg_cap=8,
+        # shallow trunk + short solver orbits: these tests check the model's
+        # branch semantics, not R50 capacity; XLA:CPU compile is the cost
+        resnet_depth=14,
+        gagm_iters=20,
+        hippi_iters=10,
     )
     defaults.update(kw)
     return MaskRCNN(**defaults)

@@ -23,6 +23,9 @@ def tiny_model():
         num_classes=2, univ_size=8, node_cap_per_level=4,
         pre_nms_topk_train=64, pre_nms_topk_test=64, post_nms_topk=32,
         detections_per_image=8, batch_size_per_image=32, mask_fg_cap=8,
+        # shallow trunk + short solver orbits: single-vs-multi-device parity
+        # is architecture-independent, and XLA:CPU compile time is the cost
+        resnet_depth=14, gagm_iters=20, hippi_iters=10,
     )
 
 

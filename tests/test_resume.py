@@ -57,6 +57,7 @@ def make_trainer(seed=0):
         pre_nms_topk_train=32, pre_nms_topk_test=32, post_nms_topk=16,
         detections_per_image=4, batch_size_per_image=16, mask_fg_cap=4,
         pixel_mean=(103.5, 116.3, 123.7), pixel_std=(57.4, 57.1, 58.4),
+        resnet_depth=14, gagm_iters=20, hippi_iters=10,
     )
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)),
                         jnp.asarray([[64.0, 64.0]]))["params"]

@@ -35,6 +35,14 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
 
+    # Honor JAX_PLATFORMS even when a site hook pinned jax_platforms at
+    # interpreter start (the axon hook sets "axon,cpu", which would make a
+    # CPU-only CI subprocess block on — or steal — the TPU tunnel).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from ttdg_mgm_tpu.config import setup_cfg
     from ttdg_mgm_tpu.data.builtin import register_all_medical
     from ttdg_mgm_tpu.build import build_trainer

@@ -37,6 +37,12 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         post_nms_topk=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        backbone_name=("vgg16" if "vgg" in cfg.MODEL.BACKBONE.NAME else "resnet50"),
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        sk_iters=cfg.MODEL.GRAPH.SK_ITERS,
+        sk_tau=cfg.MODEL.GRAPH.SK_TAU,
+        hippi_iters=cfg.MODEL.GRAPH.HIPPI_ITERS,
+        gagm_iters=cfg.MODEL.GRAPH.GAGM_ITERS,
         compute_dtype=(
             "bfloat16" if (cfg.SOLVER.AMP.ENABLED or cfg.TPU.PRECISION == "bfloat16")
             else "float32"

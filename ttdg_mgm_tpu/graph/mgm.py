@@ -50,6 +50,7 @@ class MGM3Unsup(nn.Module):
     cluster_quad_weight: float = 1.0
     sk_tau: float = 0.05
     sk_iter: int = 20
+    mgm_iter: int = 200
     num_clusters: int = 1  # >1 enables the MGM-Mixture clustering outer step
     use_fused_gagm: bool | None = None  # None = auto (fused Pallas on TPU)
 
@@ -110,6 +111,7 @@ class MGM3Unsup(nn.Module):
                 A, Wds, U0, ms, self.univ_size, self.num_clusters,
                 quad_weight=self.quad_weight,
                 cluster_quad_weight=self.cluster_quad_weight,
+                mgm_iter=self.mgm_iter, sk_iter=self.sk_iter,
             )
             same_cluster = clusters[:, None] == clusters[None, :]
         else:
@@ -117,8 +119,9 @@ class MGM3Unsup(nn.Module):
             if fused is None:
                 fused = jax.default_backend() == "tpu"
             solver_kw = dict(
-                quad_weight=self.quad_weight, mgm_iter=200, sk_iter=20,
-                sk_tau0=0.1, sk_gamma=0.5, min_tau=1e-2, tol=1e-3,
+                quad_weight=self.quad_weight, mgm_iter=self.mgm_iter,
+                sk_iter=self.sk_iter, sk_tau0=0.1, sk_gamma=0.5,
+                min_tau=1e-2, tol=1e-3,
             )
             if fused:
                 from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
@@ -136,8 +139,8 @@ class MGM3Unsup(nn.Module):
                 )
                 U_b = final_hungarian_round(
                     A, Wds, U_c, ms, self.univ_size,
-                    quad_weight=self.quad_weight, mgm_iter=200, sk_iter=20,
-                    tau=1e-2, tol=1e-3,
+                    quad_weight=self.quad_weight, mgm_iter=self.mgm_iter,
+                    sk_iter=self.sk_iter, tau=1e-2, tol=1e-3,
                 )
             else:
                 U_b = ga_gm(A, Wds, U0, ms, self.univ_size, **solver_kw)

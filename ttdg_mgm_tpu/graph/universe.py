@@ -76,6 +76,7 @@ class USup(nn.Module):
     dim: int = 256
     sk_tau: float = 0.05
     sk_iter: int = 20
+    hippi_iters: int = 50
     loss_w: float = 0.1
     loss_lam: float = 1e-4
 
@@ -123,7 +124,8 @@ class USup(nn.Module):
         A_ = Wlbl.T @ A @ Wlbl
 
         ms = jnp.sum(mask.astype(jnp.int32), axis=-1)
-        U_target = hippi(A_, U_ds, ms, self.univ_size)
+        U_target = hippi(A_, U_ds, ms, self.univ_size,
+                         max_iter=self.hippi_iters, sk_iter=self.sk_iter)
 
         # masked MSE over valid rows (reference mse_loss over the ragged matrix)
         diff = jnp.square(U_ds - jax.lax.stop_gradient(U_target))

@@ -88,6 +88,15 @@ class MaskRCNN(nn.Module):
     mask_fg_cap: int = 128
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput
     backbone_name: str = "resnet50"  # or "vgg16" (reference build_vgg_backbone)
+    # matching-solver budgets (reference defaults, SURVEY §2.4; wired from
+    # cfg.MODEL.GRAPH.* so tests/ablations can shrink the solver orbits)
+    sk_iters: int = 20
+    sk_tau: float = 0.05
+    hippi_iters: int = 50
+    gagm_iters: int = 200
+    # bottleneck stage depths: 50 -> (3,4,6,3); 101 -> (3,4,23,3);
+    # 152 -> (3,8,36,3); small non-standard depths (14, 26) for fast tests
+    resnet_depth: int = 50
 
     def setup(self):
         if self.backbone_name == "vgg16":
@@ -95,15 +104,28 @@ class MaskRCNN(nn.Module):
 
             self.backbone = VGG16FPNBackbone()
         else:
-            self.backbone = ResNet50()
+            stages = {14: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
+                      101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.resnet_depth]
+            self.backbone = ResNet50(stage_blocks=stages)
         self.fpn = FPN()
         self.rpn_head = RPNHead()
         self.box_head = BoxHead()
         self.box_predictor = BoxPredictor(self.num_classes)
         self.mask_head = MaskHead(self.num_classes)
-        self.D_img = FCDiscriminatorImg(256)
-        self.multi_matching_sup = USup(self.num_classes, self.univ_size)
-        self.multi_matching_unsup = MGM3Unsup(self.num_classes, self.univ_size)
+        # discriminator width follows the dis_type feature (reference
+        # ``rcnn.py:113``: ``_out_feature_channels[dis_type]``); FPN levels
+        # are all 256-wide, raw backbone stages widen with depth
+        dis_ch = {"res2": 256, "res3": 512, "res4": 1024,
+                  "res5": 2048}.get(self.dis_type, 256)
+        self.D_img = FCDiscriminatorImg(dis_ch)
+        self.multi_matching_sup = USup(
+            self.num_classes, self.univ_size, sk_tau=self.sk_tau,
+            sk_iter=self.sk_iters, hippi_iters=self.hippi_iters,
+        )
+        self.multi_matching_unsup = MGM3Unsup(
+            self.num_classes, self.univ_size, sk_tau=self.sk_tau,
+            sk_iter=self.sk_iters, mgm_iter=self.gagm_iters,
+        )
         self.cross_domain = CrossDomainGraphHead(self.num_classes)
         self.graph_generator = PrototypeComputation(
             self.num_classes, self.sample_dist, self.node_cap_per_level
@@ -116,12 +138,16 @@ class MaskRCNN(nn.Module):
 
     # -- shared feature path -------------------------------------------------
 
-    def extract_features(self, images):
+    def _normalize(self, images):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         x = (images - mean) / std
         if self.compute_dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
+        return x
+
+    def extract_features(self, images):
+        x = self._normalize(images)
         # NOTE: features leave in compute_dtype (bf16 under the AMP policy;
         # f32 params promote conv outputs back to f32, so an explicit cast is
         # needed).  Everything feature-shaped downstream (ROIAlign gathers,
@@ -368,14 +394,21 @@ class MaskRCNN(nn.Module):
             centers, completion_rng=completion_rng,
         )
 
+    def _dis_feature(self, images):
+        """The ``dis_type`` feature map: an FPN level (``p2``..``p6``, the
+        reference's live configs) or a raw backbone stage (``res2``..``res5``,
+        the reference's *default* ``SEMISUPNET.DIS_TYPE="res4"`` — usable there
+        only with C4 backbones; supported here for both)."""
+        if self.dis_type.startswith("res"):
+            return self.backbone(self._normalize(images))[self.dis_type]
+        return self.extract_features(images)[self.dis_type]
+
     def loss_domain(self, images_source, images_target, image_sizes_s=None,
                     image_sizes_t=None):
         """``domain`` branch (reference ``rcnn.py:187-216``): gradient-reversed
         BCE patch discriminator on the ``dis_type`` feature level."""
-        feats_s = self.extract_features(images_source)[self.dis_type]
-        out_s = self.D_img(grad_reverse(feats_s))
-        feats_t = self.extract_features(images_target)[self.dis_type]
-        out_t = self.D_img(grad_reverse(feats_t))
+        out_s = self.D_img(grad_reverse(self._dis_feature(images_source)))
+        out_t = self.D_img(grad_reverse(self._dis_feature(images_target)))
         return {
             "loss_D_img_s": _bce_with_logits_mean(out_s.astype(jnp.float32), 0.0),
             "loss_D_img_t": _bce_with_logits_mean(out_t.astype(jnp.float32), 1.0),
@@ -387,8 +420,7 @@ class MaskRCNN(nn.Module):
         """Init/trace path touching every submodule (cheap dummies for the
         graph modules and discriminator)."""
         out = self.forward_inference(images, image_sizes)
-        feats = self.extract_features(images)
-        _ = self.D_img(feats[self.dis_type])
+        _ = self.D_img(self._dis_feature(images))
         dummy_nodes = jnp.zeros((2, 4, 256))
         dummy_labels = jnp.ones((2, 4), jnp.int32)
         dummy_mask = jnp.ones((2, 4), bool)
