@@ -6,8 +6,8 @@ the TTA matching core — the reference's ``MGM3_unsup`` forward+backward
 (``/root/reference/adapteacher/modeling/GModule/multi_graph_matching.py:451-633``,
 pure torch + pygmtools Sinkhorn) against the repo's ``MGM3Unsup`` — on the
 SAME host CPU, IDENTICAL weights and node sets, at the production TTA shape
-(4 graphs x 40 nodes x 256 dims, universe 32; the reference's own smoke
-block at ``meta_arch/rcnn.py:496-533`` documents this shape).
+(4 graphs x 24 nodes x 256 dims, universe 32 — the TTA regime of a few
+dozen nodes per image, bounded above by ``univ_size``).
 
 Both sides time a full loss + gradient (w.r.t. nodes and matching weights),
 which is what one TTA step pays.  min-of-reps; single thread each.
@@ -22,7 +22,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the shell pins JAX_PLATFORMS=axon (real TPU tunnel) and a
+# site hook re-pins jax_platforms at interpreter start; this comparison is
+# same-host CPU by definition
+os.environ["JAX_PLATFORMS"] = "cpu"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -32,15 +35,20 @@ import torch  # noqa: E402
 
 torch.set_num_threads(1)
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # reuse the parity harness's reference-import machinery and weight copiers
 import test_torch_parity as par  # noqa: E402
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ttdg_mgm_tpu.graph.mgm import MGM3Unsup  # noqa: E402
 
-G, M, UNIV, DIM, NCLS = 4, 40, 32, 256, 2
+# M <= UNIV: each graph's nodes embed as a partial permutation of the
+# 32-row universe (40-node graphs crash the reference solver's block add)
+G, M, UNIV, DIM, NCLS = 4, 24, 32, 256, 2
 REPS = 8
 
 

@@ -115,9 +115,11 @@ class MGM3Unsup(nn.Module):
             )
             same_cluster = clusters[:, None] == clusters[None, :]
         else:
+            from ttdg_mgm_tpu.utils.platform import is_tpu_backend
+
             fused = self.use_fused_gagm
             if fused is None:
-                fused = jax.default_backend() == "tpu"
+                fused = is_tpu_backend()
             solver_kw = dict(
                 quad_weight=self.quad_weight, mgm_iter=self.mgm_iter,
                 sk_iter=self.sk_iter, sk_tau0=0.1, sk_gamma=0.5,
@@ -134,7 +136,7 @@ class MGM3Unsup(nn.Module):
                 # tests/test_torch_parity.py)
                 U_c = ga_gm_fused(
                     A, Wds, U0, ms, self.univ_size,
-                    interpret=jax.default_backend() != "tpu",
+                    interpret=not is_tpu_backend(),
                     final_hungarian=False, **solver_kw,
                 )
                 U_b = final_hungarian_round(

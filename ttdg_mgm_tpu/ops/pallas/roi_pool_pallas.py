@@ -73,7 +73,9 @@ def use_windowed_pool() -> bool:
     env = os.environ.get("TTDG_WINDOWED_POOL")
     if env is not None:
         return env not in ("0", "false", "False")
-    return jax.default_backend() != "cpu"
+    from ttdg_mgm_tpu.utils.platform import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _axis_weights(coords, limit, w0, n, win):
