@@ -9,7 +9,23 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # Two hazards for the 8-virtual-devices-on-1-core mesh, both observed as
+    # "Fatal Python error: Aborted" (rendezvous.cc: "Expected 8 threads to
+    # join the rendezvous, but not all of them arrived on time"):
+    # (1) the concurrency-optimized thunk scheduler lets independent
+    #     collectives of one program start in DIFFERENT orders on different
+    #     device threads — each side blocks in its own rendezvous and the
+    #     program deadlocks until the terminate deadline kills the process;
+    # (2) genuine slowness: the last participant can trail the first by
+    #     minutes when 8 device threads time-share one core.
+    # Force program-order thunk execution (kills 1) and give slow-but-alive
+    # collectives headroom (absorbs 2).
+    flags += (" --xla_cpu_enable_concurrency_optimized_scheduler=false"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -19,12 +35,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
-# NOTE: no persistent compilation cache here, deliberately.  On this
-# jaxlib's XLA:CPU backend a cross-process cache HIT on a serialized
-# executable SIGABRTs the process ("Fatal Python error: Aborted" inside
-# block_until_ready, no XLA message) — reproduced deterministically with
-# the 8-device-mesh source-step executable: fresh-cache run passes and
-# writes entries, the next identical run loads one and dies.  The AOT
-# kernel variant (jax_persistent_cache_enable_xla_caches="all") is worse:
-# entries embed pseudo machine features (+prefer-no-gather/-scatter) that
-# the loader rejects on the SAME host.  Cold compiles are slow but correct.
+# Persistent compilation cache: the 1-core host spends most of the suite's
+# wall clock re-compiling identical XLA programs across pytest processes.
+# (An earlier SIGABRT was mis-attributed to this cache; the real cause was
+# the collective-scheduler deadlock fixed by the XLA_FLAGS above, and the
+# cpu_aot_loader "+prefer-no-gather machine feature" load errors are benign
+# noise that appears with or without a cache.)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ttdg_jax_cache_cputest"))
+    # XLA:CPU reports sub-second compile times even for programs whose
+    # end-to-end jit (trace+lower+compile) takes minutes — cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # older jax without these flags
+    pass
