@@ -141,6 +141,75 @@ class TestWindowedRoiPool:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
+    def test_train_pool_forward_and_grad_parity(self):
+        """Differentiable windowed train pooler: forward AND feature
+        gradients match the XLA gather pooler's autodiff (the backward is a
+        hand-written windowed scatter-accumulate kernel)."""
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed_train)
+        from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+        rng = np.random.RandomState(3)
+        B, K, C = 2, 10, 32
+        sizes = [(64, 64), (32, 32), (16, 16), (8, 8)]
+        feats = self._feats(rng, B, sizes, C)
+        wh = rng.uniform(8, 110, (B, K, 2)).astype(np.float32)
+        xy = rng.uniform(0, 140, (B, K, 2)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        cot = jnp.asarray(rng.randn(B, K, 7, 7, C).astype(np.float32))
+
+        def loss_win(fs):
+            out = multilevel_roi_align_windowed_train(
+                fs, rois, output_size=7, interpret=True)
+            return jnp.sum(out * cot)
+
+        def loss_ref(fs):
+            out = jax.vmap(lambda f, b: multilevel_roi_align(
+                f, b, output_size=7, pack_corners=False))(fs, rois)
+            return jnp.sum(out * cot)
+
+        lw, gw = jax.value_and_grad(loss_win)(feats)
+        lr, gr = jax.value_and_grad(loss_ref)(feats)
+        np.testing.assert_allclose(float(lw), float(lr), rtol=1e-4)
+        for a, b in zip(gw, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3)
+
+    def test_train_pool_grad_with_misfits(self):
+        """Cotangent of misfit ROIs must flow through the exact gather
+        fallback (windowed cotangent zeroed at overwritten positions)."""
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed_train)
+        from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
+
+        rng = np.random.RandomState(4)
+        B, K, C = 1, 5, 32
+        sizes = [(64, 64), (32, 32), (16, 16), (8, 8)]
+        feats = self._feats(rng, B, sizes, C)
+        rois = jnp.asarray(np.array([[[2, 3, 250, 18],   # elongated misfit
+                                      [5, 10, 20, 200],  # tall misfit
+                                      [0, 0, 40, 40],
+                                      [100, 100, 140, 150],
+                                      [8, 8, 24, 24]]], np.float32))
+        cot = jnp.asarray(rng.randn(B, K, 7, 7, C).astype(np.float32))
+
+        def loss_win(fs):
+            out = multilevel_roi_align_windowed_train(
+                fs, rois, output_size=7, misfit_budget=3, interpret=True)
+            return jnp.sum(out * cot)
+
+        def loss_ref(fs):
+            out = jax.vmap(lambda f, b: multilevel_roi_align(
+                f, b, output_size=7, pack_corners=False))(fs, rois)
+            return jnp.sum(out * cot)
+
+        lw, gw = jax.value_and_grad(loss_win)(feats)
+        lr, gr = jax.value_and_grad(loss_ref)(feats)
+        np.testing.assert_allclose(float(lw), float(lr), rtol=1e-4)
+        for a, b in zip(gw, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3)
+
     def test_mask_pool_14(self):
         from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
             multilevel_roi_align_windowed)

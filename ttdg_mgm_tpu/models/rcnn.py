@@ -55,7 +55,9 @@ from ttdg_mgm_tpu.models.rpn import (
 )
 from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
     multilevel_roi_align_windowed,
+    multilevel_roi_align_windowed_train,
     use_windowed_pool,
+    use_windowed_train_pool,
 )
 from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align
 
@@ -190,6 +192,12 @@ class MaskRCNN(nn.Module):
             # ops/pallas/roi_pool_pallas.py).  Gradient-free by design —
             # these call sites feed stop_gradient-ed detections only.
             return multilevel_roi_align_windowed(
+                pool_feats, boxes, output_size=output_size
+            )
+        if pack and use_windowed_train_pool():
+            # opt-in differentiable windowed pooler for training pools
+            # (Pallas scatter-accumulate backward); off until measured
+            return multilevel_roi_align_windowed_train(
                 pool_feats, boxes, output_size=output_size
             )
         return jax.vmap(

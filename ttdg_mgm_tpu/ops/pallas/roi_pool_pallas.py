@@ -50,6 +50,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -178,20 +179,18 @@ def _windowed_nodiff_jvp(cfg, primals, tangents):
     return out, jnp.zeros_like(out)
 
 
-def _windowed_impl(
-    feats, rois, *, strides, output_size, sampling_ratio, min_level,
-    misfit_budget, interpret,
-):
-    B, K = rois.shape[:2]
-    C = feats[0].shape[-1]
-    P, n = output_size, sampling_ratio
-    dtype = feats[0].dtype
-    L = len(feats)
-
-    # ---- level atlas: levels row-concatenated, padded to fit a window
+def _atlas_layout(feats):
+    """Static layout of the row-concatenated level atlas."""
     Wmax = -(-max(max(f.shape[2] for f in feats), WINX) // 8) * 8
     Hpad = [max(f.shape[1], WINY) for f in feats]
-    atlas = jnp.concatenate(
+    return Hpad, Wmax
+
+
+def _build_atlas(feats, Hpad, Wmax):
+    """Levels row-concatenated, padded to fit a window.  Pure XLA pad/concat:
+    differentiable, so autodiff slices an atlas cotangent back into
+    per-level feature cotangents with no extra code."""
+    return jnp.concatenate(
         [
             jnp.pad(f, ((0, 0), (0, hp - f.shape[1]), (0, Wmax - f.shape[2]),
                         (0, 0)))
@@ -199,8 +198,16 @@ def _windowed_impl(
         ],
         axis=1,
     )
-    row_off = jnp.asarray(
-        [sum(Hpad[:l]) for l in range(L)], jnp.int32)
+
+
+def _window_geometry(feats, rois, *, strides, output_size, sampling_ratio,
+                     min_level, Hpad, Wmax, dtype):
+    """Per-ROI window placement + fused interpolation matrix (host-side XLA,
+    vectorized).  Returns ``(w_mat, bidx, wy0g, wx0, max_cy, max_cx)``."""
+    B, K = rois.shape[:2]
+    P, n = output_size, sampling_ratio
+    L = len(feats)
+    row_off = jnp.asarray([sum(Hpad[:l]) for l in range(L)], jnp.int32)
 
     flat_rois = rois.reshape(B * K, 4)
     lvl = assign_fpn_levels(
@@ -236,10 +243,14 @@ def _windowed_impl(
 
     bidx = (jnp.arange(B * K, dtype=jnp.int32) // K)
     wy0g = row_off[lvl] + wy0
+    return w_mat, bidx, wy0g, wx0, max_cy, max_cx
 
+
+def _pool_call(atlas, w_mat, bidx, wy0g, wx0, *, P, C, dtype, interpret):
+    BK = w_mat.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B * K,),
+        grid=(BK,),
         in_specs=[
             pl.BlockSpec((1, P * P, WINY * WINX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -252,15 +263,192 @@ def _windowed_impl(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _pool_kernel,
-        out_shape=jax.ShapeDtypeStruct((B * K, P * P, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((BK, P * P, C), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(bidx, wy0g, wx0, w_mat, atlas)
+
+
+def _windowed_impl(
+    feats, rois, *, strides, output_size, sampling_ratio, min_level,
+    misfit_budget, interpret,
+):
+    B, K = rois.shape[:2]
+    C = feats[0].shape[-1]
+    P, n = output_size, sampling_ratio
+    dtype = feats[0].dtype
+
+    Hpad, Wmax = _atlas_layout(feats)
+    atlas = _build_atlas(feats, Hpad, Wmax)
+    w_mat, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
+        feats, rois, strides=strides, output_size=output_size,
+        sampling_ratio=sampling_ratio, min_level=min_level, Hpad=Hpad,
+        Wmax=Wmax, dtype=dtype,
+    )
+    out = _pool_call(atlas, w_mat, bidx, wy0g, wx0, P=P, C=C, dtype=dtype,
+                     interpret=interpret)
     out = out.reshape(B, K, P, P, C)
 
     # ---- exact gather-path fallback for window misfits (elongated ROIs)
+    F = min(misfit_budget, K)
+    if F > 0:
+        misfit = ((max_cy > WINY - 1) | (max_cx > WINX - 1)).reshape(B, K)
+
+        def one_image(fs, rb, mb):
+            score = mb.astype(jnp.float32) - jnp.arange(K) * 1e-9
+            _, idx = jax.lax.top_k(score, F)
+            sub = multilevel_roi_align(
+                fs, rb[idx], strides=strides, output_size=P,
+                sampling_ratio=n, min_level=min_level, pack_corners=False,
+            )
+            return idx, sub, mb[idx]
+
+        idxs, subs, sel = jax.vmap(one_image)(feats, rois, misfit)
+
+        def merge(o, idx, sub, s):
+            keep = jnp.where(s[:, None, None, None], sub.astype(o.dtype),
+                             o[idx])
+            return o.at[idx].set(keep)
+
+        out = jax.vmap(merge)(out, idxs, subs, sel)
+    return out
+
+
+# --------------------------------------------------------------- train pool
+def use_windowed_train_pool() -> bool:
+    """Gate for the DIFFERENTIABLE windowed training pooler.  Off by default
+    until its step-time win is measured on the real chip (the training
+    backward competes with the corner-packed gather whose scatter cost is
+    already amortized); enable with TTDG_WINDOWED_TRAIN_POOL=1."""
+    env = os.environ.get("TTDG_WINDOWED_TRAIN_POOL")
+    if env is None or env in ("0", "false", "False"):
+        return False
+    from ttdg_mgm_tpu.utils.platform import is_tpu_backend
+
+    return is_tpu_backend()
+
+
+def _scatter_kernel(bidx_ref, wy0_ref, wx0_ref, w_ref, g_ref, zeros_ref,
+                    out_ref, win_scratch, sems):
+    """Backward: per-ROI window read-modify-write accumulation.
+
+    d(atlas window) += W^T @ g.  Windows of different ROIs OVERLAP, so each
+    grid step does a strictly blocking read -> add -> write on the output
+    atlas (no double buffering; correctness over latency).  ``zeros_ref`` is
+    input-output-aliased to ``out_ref`` so the accumulator starts zeroed."""
+    del zeros_ref
+    i = pl.program_id(0)
+
+    window = out_ref.at[bidx_ref[i], pl.ds(wy0_ref[i], WINY),
+                        pl.ds(pl.multiple_of(wx0_ref[i], 8), WINX), :]
+    read = pltpu.make_async_copy(window, win_scratch, sems.at[0])
+    read.start()
+    read.wait()
+    upd = jnp.dot(
+        w_ref[0].T, g_ref[0], preferred_element_type=jnp.float32
+    ).reshape(WINY, WINX, win_scratch.shape[-1])
+    win_scratch[...] = win_scratch[...] + upd.astype(win_scratch.dtype)
+    write = pltpu.make_async_copy(win_scratch, window, sems.at[0])
+    write.start()
+    write.wait()
+
+
+def _scatter_call(g, w_mat, bidx, wy0g, wx0, atlas_shape, *, P, C, dtype,
+                  interpret):
+    BK = w_mat.shape[0]
+    zeros = jnp.zeros(atlas_shape, dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(BK,),
+        in_specs=[
+            pl.BlockSpec((1, P * P, WINY * WINX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P * P, C), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((WINY, WINX, C), dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    return pl.pallas_call(
+        _scatter_kernel,
+        out_shape=jax.ShapeDtypeStruct(atlas_shape, dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={5: 0},  # zeros atlas (3 scalars + 2 tensors) -> out
+        interpret=interpret,
+    )(bidx, wy0g, wx0, w_mat, g, zeros)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pool_from_atlas(cfg, atlas, w_mat, bidx, wy0g, wx0):
+    P, C, dtype_name, interpret = cfg
+    return _pool_call(atlas, w_mat, bidx, wy0g, wx0, P=P, C=C,
+                      dtype=jnp.dtype(dtype_name), interpret=interpret)
+
+
+def _pool_from_atlas_fwd(cfg, atlas, w_mat, bidx, wy0g, wx0):
+    out = _pool_from_atlas(cfg, atlas, w_mat, bidx, wy0g, wx0)
+    return out, (w_mat, bidx, wy0g, wx0, atlas.shape)
+
+
+def _pool_from_atlas_bwd(cfg, res, g):
+    P, C, dtype_name, interpret = cfg
+    w_mat, bidx, wy0g, wx0, atlas_shape = res
+    dtype = jnp.dtype(dtype_name)
+    datlas = _scatter_call(
+        g.astype(dtype), w_mat, bidx, wy0g, wx0, atlas_shape,
+        P=P, C=C, dtype=dtype, interpret=interpret,
+    )
+    f0 = jax.dtypes.float0
+    return (datlas, jnp.zeros_like(w_mat),
+            np.zeros(bidx.shape, f0), np.zeros(wy0g.shape, f0),
+            np.zeros(wx0.shape, f0))
+
+
+_pool_from_atlas.defvjp(_pool_from_atlas_fwd, _pool_from_atlas_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "output_size", "sampling_ratio", "min_level",
+                     "misfit_budget", "interpret"),
+)
+def multilevel_roi_align_windowed_train(
+    feats, rois, *, strides=(4, 8, 16, 32), output_size: int = 7,
+    sampling_ratio: int = 2, min_level: int = 2, misfit_budget: int = 16,
+    interpret: bool = False,
+):
+    """DIFFERENTIABLE windowed pooler for training pools: identical sampling
+    semantics to ``multilevel_roi_align_windowed``, but with a Pallas
+    backward (per-ROI windowed scatter-accumulate, ``_scatter_kernel``)
+    instead of XLA's row-transaction-bound scatter-add.  Misfit ROIs merge
+    through the exact differentiable gather path — their cotangent reaches
+    it automatically because ``.at[idx].set`` zeroes the windowed cotangent
+    at replaced positions."""
+    feats = list(feats)
+    B, K = rois.shape[:2]
+    C = feats[0].shape[-1]
+    P, n = output_size, sampling_ratio
+    dtype = feats[0].dtype
+
+    Hpad, Wmax = _atlas_layout(feats)
+    atlas = _build_atlas(feats, Hpad, Wmax)
+    w_mat, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
+        feats, rois, strides=strides, output_size=output_size,
+        sampling_ratio=sampling_ratio, min_level=min_level, Hpad=Hpad,
+        Wmax=Wmax, dtype=dtype,
+    )
+    cfg = (P, C, jnp.dtype(dtype).name, interpret)
+    out = _pool_from_atlas(
+        cfg, atlas, w_mat, jax.lax.stop_gradient(bidx),
+        jax.lax.stop_gradient(wy0g), jax.lax.stop_gradient(wx0)
+    ).reshape(B, K, P, P, C)
+
     F = min(misfit_budget, K)
     if F > 0:
         misfit = ((max_cy > WINY - 1) | (max_cx > WINX - 1)).reshape(B, K)
