@@ -6,14 +6,20 @@ can return without raising after a worker abort, making timings meaningless
 scalar device->host (``_sync``), which both orders the timeline correctly and
 raises loudly if the computation aborted.
 
-Run: python scripts/profile_tta.py
+Run: python scripts/profile_tta.py [size]      (size defaults to 512)
+
+Uses the bench's warmed-weights cache (``.bench_cache/warm_*.msgpack``) when
+present so the matching path is ACTIVE inside the measured step; prints the
+node count and TTA loss as evidence.
 """
 
+import importlib.util
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +47,47 @@ def timeit(fn, *args, n=5, reps=4, **kw):
     return best
 
 
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
 def main():
     from ttdg_mgm_tpu.engine.steps import TrainState, make_tta_step
     from ttdg_mgm_tpu.models import MaskRCNN
     from ttdg_mgm_tpu.solver.build import build_optimizer
+    from ttdg_mgm_tpu.utils.platform import is_tpu_backend
 
-    B, H, W = 4, 512, 512
+    H = W = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    B = 4
+    bench = _load_bench()
     model = MaskRCNN(num_classes=2, compute_dtype="bfloat16")
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 64, 64, 3)),
                         jnp.asarray([[64.0, 64.0]]))["params"]
-    images = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
-    sizes = jnp.tile(jnp.asarray([[float(H), float(W)]]), (B, 1))
+
+    cache_dir = os.path.join(REPO, ".bench_cache")
+    warm = ([f for f in os.listdir(cache_dir)
+             if f.startswith("warm_") and f.endswith(".msgpack")]
+            if os.path.isdir(cache_dir) else [])
+    if warm:
+        import flax.serialization as fser
+
+        with open(os.path.join(cache_dir, sorted(warm)[-1]), "rb") as f:
+            params = fser.from_bytes(params, f.read())
+        print(f"warmed weights: {sorted(warm)[-1]}")
+    else:
+        print("warmed weights: NONE (random init; matching may be inactive)")
+
+    raw = bench.synth_batch(np, H, B, seed=99, with_gt=False)
+    images = jnp.asarray(raw["image"])
+    sizes = jnp.asarray(raw["image_sizes"])
+
+    print(f"device: {jax.devices()[0].platform}; "
+          f"is_tpu_backend={is_tpu_backend()} (fused GA-GM + windowed pool gate)")
 
     feats_fn = jax.jit(lambda p, im: model.apply(
         {"params": p}, im, method=model.extract_features))
@@ -63,14 +98,28 @@ def main():
     ttt_grad = jax.jit(lambda p, im, sz: jax.value_and_grad(
         lambda q: model.apply({"params": q}, im, sz, method=model.loss_ttt))(p))
 
-    print(f"device: {jax.devices()[0].platform}")
+    # node-count evidence (matching active?)
+    def nodes_fn(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            boxes, scores, classes, valid = m._box_inference(feats, pb, pv, s)
+            nodes, labels, mask = m.graph_generator(
+                m._feature_list(feats), boxes, classes, valid)
+            return mask
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    mask = jax.jit(nodes_fn)(params, images, sizes)
+    print(f"nodes sampled         : {int(jnp.sum(mask))}")
+
     print(f"backbone+fpn fwd      : {timeit(feats_fn, params, images):8.2f} ms")
     print(f"inference fwd         : {timeit(fwd, params, images, sizes):8.2f} ms")
     print(f"ttt loss fwd          : {timeit(ttt, params, images, sizes):8.2f} ms")
     print(f"ttt loss fwd+bwd      : {timeit(ttt_grad, params, images, sizes):8.2f} ms")
 
     tx = build_optimizer(params, lambda _: 0.005)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
     step = make_tta_step(model, tx)
     state, loss = step(state, {"image": images, "image_sizes": sizes})
     print(f"warmup loss           : {float(loss):.5f}")
