@@ -371,6 +371,64 @@ class TestUSupParity:
         np.testing.assert_allclose(loss_j, loss_t, rtol=5e-3, atol=5e-4)
 
 
+class TestNodeSamplerParity:
+    """PrototypeComputation vs the reference's torch implementation
+    (``build_graph.py:11-249``): identical FPN features + GT boxes must
+    produce the SAME node features, labels, and order (level-major raster
+    order with ``[::step]`` subsampling == the repo's rank-modulo select)."""
+
+    def test_nodes_match_reference(self):
+        from adapteacher.modeling.GModule.build_graph import (  # noqa: E402
+            PrototypeComputation as RefProto,
+        )
+
+        from ttdg_mgm_tpu.graph.node_sampler import PrototypeComputation
+
+        class FakeInstances:
+            """Minimal detectron2.Instances stand-in for the reference."""
+
+            def __init__(self, boxes, classes):
+                self._fields = {"gt_boxes": True}
+                self.gt_boxes = types.SimpleNamespace(
+                    tensor=torch.tensor(boxes, dtype=torch.float32))
+                self.gt_classes = torch.tensor(classes, dtype=torch.int64)
+
+            def __len__(self):
+                return self.gt_classes.shape[0]
+
+        rng = np.random.default_rng(7)
+        B, C, ncls = 2, 16, 2
+        hw = [(32, 32), (16, 16), (8, 8), (4, 4), (2, 2)]  # strides 4..64
+        feats_np = [rng.standard_normal((B, h, w, C)).astype(np.float32)
+                    for h, w in hw]
+        # boxes spanning several FCOS size buckets (sizes ~30 to ~120 px)
+        boxes_np = np.array([
+            [[10.0, 12.0, 48.0, 58.0], [30.0, 20.0, 120.0, 110.0]],
+            [[4.0, 4.0, 124.0, 120.0], [60.0, 70.0, 100.0, 96.0]],
+        ], np.float32)
+        classes_np = np.array([[0, 1], [1, 0]], np.int32)
+
+        ref = RefProto(num_cls=ncls, sample_dist=10)
+        feats_t = [torch.tensor(f).permute(0, 3, 1, 2) for f in feats_np]
+        targets = [FakeInstances(boxes_np[b], classes_np[b]) for b in range(B)]
+        ref_nodes, ref_labels = ref(feats_t, targets)
+
+        ours = PrototypeComputation(ncls, 10, cap_per_level=64)  # lossless cap
+        nodes, labels, mask = ours(
+            [jnp.asarray(f) for f in feats_np], jnp.asarray(boxes_np),
+            jnp.asarray(classes_np), jnp.ones((B, 2), bool),
+        )
+        for b in range(B):
+            n = int(jnp.sum(mask[b]))
+            assert n == ref_nodes[b].shape[0], (b, n, ref_nodes[b].shape)
+            np.testing.assert_allclose(
+                np.asarray(nodes[b][:n]), ref_nodes[b].numpy(),
+                rtol=1e-6, atol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(labels[b][:n]), ref_labels[b].numpy())
+
+
 class TestMGM3Parity:
     def test_tta_loss(self):
         torch.manual_seed(1)
