@@ -371,6 +371,135 @@ class TestUSupParity:
         np.testing.assert_allclose(loss_j, loss_t, rtol=5e-3, atol=5e-4)
 
 
+class TestLossAndOTParity:
+    """Matching losses + OT components vs the reference's torch classes on
+    identical full (non-ragged) inputs."""
+
+    def _problem(self, seed=0, b=3, n=5):
+        rng = np.random.default_rng(seed)
+        s = rng.random((b, n, n)).astype(np.float32) + 0.1
+        s = s / s.sum(-1, keepdims=True)
+        s = s / s.sum(-2, keepdims=True)
+        s = np.clip(s, 1e-4, 1.0 - 1e-4)
+        gt = np.zeros((b, n, n), np.float32)
+        for i in range(b):
+            gt[i, np.arange(n), rng.permutation(n)] = 1.0
+        ns = torch.full((b,), n, dtype=torch.int64)
+        return s, gt, ns
+
+    def test_permutation_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import permutation_loss
+
+        s, gt, ns = self._problem(0)
+        want = float(ref_losses.PermutationLoss()(
+            torch.tensor(s), torch.tensor(gt), ns, ns))
+        got = float(permutation_loss(jnp.asarray(s), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_cross_entropy_perm_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import cross_entropy_perm_loss
+
+        s, gt, ns = self._problem(1)
+        want = float(ref_losses.CrossEntropyLoss()(
+            torch.tensor(s), torch.tensor(gt), ns, ns))
+        got = float(cross_entropy_perm_loss(jnp.asarray(s), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_hamming_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import hamming_loss
+
+        s, gt, _ = self._problem(2)
+        hard = (s == s.max(-1, keepdims=True)).astype(np.float32)
+        want = float(ref_losses.HammingLoss()(
+            torch.tensor(hard), torch.tensor(gt)))
+        got = float(hamming_loss(jnp.asarray(hard), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_inner_product_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import inner_product_loss
+
+        s, gt, ns = self._problem(3)
+        want = float(ref_losses.InnerProductLoss()(
+            torch.tensor(s), torch.tensor(gt), ns, ns))
+        got = float(inner_product_loss(jnp.asarray(s), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_focal_perm_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import focal_perm_loss
+
+        s, gt, ns = self._problem(4)
+        want = float(ref_losses.FocalLoss(gamma=0.0)(
+            torch.tensor(s), torch.tensor(gt), ns, ns))
+        got = float(focal_perm_loss(jnp.asarray(s), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_offset_loss(self):
+        from adapteacher.modeling.GModule.utils import losses as ref_losses
+
+        from ttdg_mgm_tpu.graph.losses import offset_loss
+
+        rng = np.random.default_rng(5)
+        d1 = rng.standard_normal((20, 2)).astype(np.float32)
+        d2 = rng.standard_normal((20, 2)).astype(np.float32)
+        # the reference's mask=None path is broken (torch.ones_like(None));
+        # pass the all-ones mask it intended
+        want = float(ref_losses.OffsetLoss()(
+            torch.tensor(d1), torch.tensor(d2), torch.ones_like(torch.tensor(d1))))
+        got = float(offset_loss(jnp.asarray(d1), jnp.asarray(d2)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_sinkhorn_distance(self):
+        from adapteacher.modeling.GModule.utils.sinkhorn_distance import (
+            SinkhornDistance as RefSD,
+        )
+
+        from ttdg_mgm_tpu.graph.ot import sinkhorn_distance
+
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((2, 7, 4)).astype(np.float32)
+        y = rng.standard_normal((2, 9, 4)).astype(np.float32)
+        ref_cost, ref_pi, _ = RefSD(eps=0.01, max_iter=100)(
+            torch.tensor(x), torch.tensor(y))
+        cost, pi = sinkhorn_distance(jnp.asarray(x), jnp.asarray(y),
+                                     eps=0.01, max_iter=100)
+        # both implementations apply the x0.001 scale internally
+        np.testing.assert_allclose(np.asarray(cost), ref_cost.numpy(),
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pi), ref_pi.numpy(),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_proto_loss(self):
+        from adapteacher.modeling.GModule.utils.adaptation_loss import (
+            ProtoLoss as RefProto,
+        )
+
+        from ttdg_mgm_tpu.graph.ot import proto_loss
+
+        rng = np.random.default_rng(7)
+        K, M, F_ = 3, 12, 8
+        mu = rng.standard_normal((K, F_)).astype(np.float32)
+        ft = rng.standard_normal((M, F_)).astype(np.float32)
+        ref = RefProto(nav_t=1.0, beta=0.01, num_classes=K, s_par=0.5)
+        t2p_t, p2t_t = ref(torch.tensor(mu), torch.tensor(ft))
+        prop0 = jnp.full((K, 1), 1.0 / K)
+        t2p, p2t, new_prop = proto_loss(jnp.asarray(mu), jnp.asarray(ft),
+                                        prop0, nav_t=1.0, beta=0.01, s_par=0.5)
+        np.testing.assert_allclose(float(t2p), float(t2p_t), rtol=1e-5)
+        np.testing.assert_allclose(float(p2t), float(p2t_t), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_prop),
+                                   ref.prop.detach().numpy(), rtol=1e-5)
+
+
 class TestNodeSamplerParity:
     """PrototypeComputation vs the reference's torch implementation
     (``build_graph.py:11-249``): identical FPN features + GT boxes must

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1e-6
 
@@ -82,36 +83,47 @@ def hamming_loss(pred_perm, gt_perm, mask=None):
     return jnp.mean(jnp.sum(x, axis=(-2, -1)))
 
 
+def _valid_rows(mask, shape):
+    """Reference ``n_sum`` = total valid SOURCE rows across the batch."""
+    if mask is None:
+        return float(np.prod(shape[:-1]))
+    return jnp.maximum(jnp.sum(jnp.any(mask, axis=-1)), 1)
+
+
 def inner_product_loss(pred, gt_perm, mask=None):
-    """Negative inner product loss (reference ``losses.py:668-711``)."""
+    """Negative inner product loss (reference ``losses.py:668-711``):
+    ``-sum(pred * gt) / n_rows`` (n_rows = the reference's Σ src_ns)."""
     x = pred * gt_perm
     if mask is not None:
         x = jnp.where(mask, x, 0.0)
-    return -jnp.sum(x)
+    return -jnp.sum(x) / _valid_rows(mask, pred.shape)
 
 
-def offset_loss(d_pred, d_gt, grad_mask=None, norm: float = 1.0):
-    """Robust L1 displacement loss (reference ``losses.py:570-609``)."""
+def offset_loss(d_pred, d_gt, grad_mask=None, norm=None, epsilon: float = 1e-5):
+    """Robust displacement loss (reference ``losses.py:570-609``):
+    ``sum(sqrt(||(d1-d2)/norm||^2 * mask + eps)) / n_rows``."""
+    x = d_pred - d_gt
+    if norm is not None:
+        x = x / norm
+    sq = jnp.square(x)
     if grad_mask is not None:
-        d_pred = d_pred * grad_mask
-        d_gt = d_gt * grad_mask
-    diff = d_pred - d_gt
-    dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
-    return jnp.mean(dist) * norm
+        sq = sq * grad_mask
+    dist = jnp.sqrt(jnp.sum(sq, axis=-1) + epsilon)
+    return jnp.sum(dist) / d_pred.shape[0]
 
 
-def focal_perm_loss(pred_dsmat, gt_perm, mask=None, gamma: float = 0.0, alpha: float = 0.5):
-    """Focal permutation loss, sum-reduced per-problem then averaged
-    (reference ``losses.py:612-665``)."""
+def focal_perm_loss(pred_dsmat, gt_perm, mask=None, gamma: float = 0.0):
+    """Focal permutation loss (reference ``losses.py:612-665``): unweighted
+    focal terms (no alpha), summed over the batch, divided by total valid
+    source rows."""
     p = jnp.clip(pred_dsmat.astype(jnp.float32), EPS, 1.0 - EPS)
     t = gt_perm.astype(jnp.float32)
-    loss = -alpha * (1.0 - p) ** gamma * t * jnp.log(p) - (1.0 - alpha) * p ** gamma * (
+    loss = -((1.0 - p) ** gamma) * t * jnp.log(p) - (p ** gamma) * (
         1.0 - t
     ) * jnp.log(1.0 - p)
     if mask is not None:
         loss = jnp.where(mask, loss, 0.0)
-    n = jnp.maximum(jnp.sum(mask, axis=(-2, -1)) if mask is not None else loss[..., 0, 0].size, 1)
-    return jnp.mean(jnp.sum(loss, axis=(-2, -1)) / n)
+    return jnp.sum(loss) / _valid_rows(mask, pred_dsmat.shape)
 
 
 def displacement(s, p_src, p_tgt, ns=None):
