@@ -478,6 +478,75 @@ class TestLossAndOTParity:
         np.testing.assert_allclose(np.asarray(pi), ref_pi.numpy(),
                                    rtol=1e-3, atol=1e-6)
 
+    def test_displacement(self):
+        from adapteacher.modeling.GModule import multi_graph_matching as mgm_mod
+
+        from ttdg_mgm_tpu.graph.losses import displacement
+
+        rng = np.random.default_rng(8)
+        b, n1, n2 = 2, 5, 6
+        s = rng.random((b, n1, n2)).astype(np.float32)
+        ps = rng.standard_normal((b, n1, 2)).astype(np.float32)
+        pt = rng.standard_normal((b, n2, 2)).astype(np.float32)
+        ns = torch.tensor([5, 3])
+        d_t, gm_t = mgm_mod.Displacement()(
+            torch.tensor(s), torch.tensor(ps), torch.tensor(pt), ns)
+        d, gm = displacement(jnp.asarray(s), jnp.asarray(ps), jnp.asarray(pt),
+                             ns=jnp.asarray([5, 3]))
+        np.testing.assert_allclose(np.asarray(d), d_t.numpy(), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gm), gm_t.numpy())
+
+    def test_concat_matrix(self):
+        from adapteacher.modeling.GModule import multi_graph_matching as mgm_mod
+
+        from ttdg_mgm_tpu.graph.losses import concat_matrix
+
+        rng = np.random.default_rng(9)
+        M = 3
+        # every block index appears as both a row and a column: the
+        # reference sizes block rows/cols only from observed indices
+        indices = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        mats = rng.standard_normal((len(indices), M, M)).astype(np.float32)
+        want = mgm_mod.concat_matrix(
+            [torch.tensor(m) for m in mats], indices).numpy()
+        got = np.asarray(concat_matrix(jnp.asarray(mats), indices, 4))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_magnn(self):
+        """MAGNN (Feat2Graph QK adjacency + 3-layer residual GCN) with copied
+        weights.  Also validates the bias-placement equivalence: the repo's
+        Dense applies bias before the adjacency multiply, the reference
+        after — equal because the L1-normalized adjacency rows sum to 1."""
+        from adapteacher.modeling.GModule.utils.graph_network import (
+            MAGNN as RefMAGNN,
+        )
+
+        from ttdg_mgm_tpu.graph.gcn import MAGNN
+
+        torch.manual_seed(3)
+        rng = np.random.default_rng(10)
+        N, F_ = 7, 16
+        ref = RefMAGNN(F_, F_).eval()
+        x = rng.standard_normal((N, F_)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x)).numpy()
+
+        def dense(linear):
+            return {"kernel": t2j(linear.weight).T, "bias": t2j(linear.bias)}
+
+        params = {
+            "graph": {"wq": dense(ref.graph.wq), "wk": dense(ref.graph.wk)},
+            "gc1": {"weight": {"kernel": t2j(ref.gc1.weight),
+                               "bias": t2j(ref.gc1.bias)}},
+            "gc2": {"weight": {"kernel": t2j(ref.gc2.weight),
+                               "bias": t2j(ref.gc2.bias)}},
+            "gc3": {"weight": {"kernel": t2j(ref.gc3.weight),
+                               "bias": t2j(ref.gc3.bias)}},
+        }
+        model = MAGNN(nfeat=F_, nhid=F_)
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_proto_loss(self):
         from adapteacher.modeling.GModule.utils.adaptation_loss import (
             ProtoLoss as RefProto,
