@@ -547,6 +547,46 @@ class TestLossAndOTParity:
         got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_hypergraph_laplacian_and_conv(self, monkeypatch):
+        """KNN-hypergraph G and the HGNN conv vs the reference HyperGraph
+        (``attentions.py:118-299``), identical features + copied weights."""
+        # the reference uses np.mat (removed in NumPy 2.0) and `ndarray != []`
+        # truthiness (NumPy 1.x); shim both for this single-scale case
+        monkeypatch.setattr(np, "mat", np.asmatrix, raising=False)
+        from adapteacher.modeling.GModule.utils.attentions import (
+            HyperGraph as RefHG,
+        )
+
+        monkeypatch.setattr(
+            RefHG, "hyperedge_concat",
+            lambda self, *hs: next(h for h in hs if isinstance(h, np.ndarray)))
+
+        from ttdg_mgm_tpu.graph.hypergraph import (
+            HGNNConv,
+            knn_hypergraph_laplacian,
+        )
+
+        torch.manual_seed(4)
+        rng = np.random.default_rng(11)
+        N, F_, K = 9, 16, 3
+        x = rng.standard_normal((N, F_)).astype(np.float32) * 3.0  # separated
+        ref = RefHG(emb_dim=F_, K_neigs=[K]).eval()
+        with torch.no_grad():
+            out_t, H_t = ref(torch.tensor(x)[None])
+
+        G = knn_hypergraph_laplacian(jnp.asarray(x), K)
+        # the reference's G (np.mat chain) reconstructed from its own H
+        G_ref = np.asarray(ref.generate_G_from_H(H_t.numpy()))
+        np.testing.assert_allclose(np.asarray(G), G_ref, rtol=1e-4, atol=1e-6)
+
+        conv = HGNNConv(F_)
+        params = {"theta": {
+            "kernel": t2j(ref.hgnn_conv_layer.linear.weight).T,
+            "bias": t2j(ref.hgnn_conv_layer.linear.bias),
+        }}
+        got = np.asarray(conv.apply({"params": params}, jnp.asarray(x), G))
+        np.testing.assert_allclose(got, out_t.numpy(), rtol=1e-4, atol=1e-5)
+
     def test_proto_loss(self):
         from adapteacher.modeling.GModule.utils.adaptation_loss import (
             ProtoLoss as RefProto,
