@@ -91,6 +91,22 @@ class TestCocoLoading:
         w = s["image"].shape[1]
         np.testing.assert_allclose(s["boxes"][0][0], w - sn["boxes"][0][2], atol=1e-4)
 
+    def test_train_loader_retries_bad_sample(self, coco_fixture, tmp_path):
+        """A record whose image is unreadable is substituted, not fatal
+        (reference ``MapDataset`` retry, ``data/common.py:21-42``)."""
+        name, json_path, img_dir = coco_fixture
+        recs = [dict(r) for r in DatasetCatalog.get(name)]
+        recs[1] = dict(recs[1], file_name=str(tmp_path / "missing.png"))
+        bad = "_retry_fixture_ds"
+        DatasetCatalog.remove(bad)
+        DatasetCatalog.register(bad, lambda: recs)
+        loader = build_train_loader([bad], batch_size=4, canvas=64,
+                                    min_size=64, max_size=64, gt_cap=4,
+                                    mask_res=32, prefetch=0)
+        b = next(loader)  # covers the full epoch incl. the broken record
+        assert b["image"].shape == (4, 64, 64, 3)
+        DatasetCatalog.remove(bad)
+
     def test_loaders(self, coco_fixture):
         name, *_ = coco_fixture
         train = build_train_loader([name], batch_size=2, canvas=64, min_size=64,

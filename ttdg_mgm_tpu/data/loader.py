@@ -21,11 +21,14 @@ fit (identical to d2 for near-square medical images).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 
 import numpy as np
 from PIL import Image
+
+logger = logging.getLogger("ttdg_mgm_tpu")
 
 from ttdg_mgm_tpu.data.catalog import DatasetCatalog
 from ttdg_mgm_tpu.data.transforms import (
@@ -166,6 +169,26 @@ def pack_batch(samples: list[dict], *, canvas: int = 800, gt_cap: int = 20,
     return out
 
 
+def _prepare_with_fallback(records, i, rng, good, **kw):
+    """Retry-on-bad-sample (reference ``MapDataset.__getitem__``,
+    ``data/common.py:21-42``): a record whose image fails to load/decode is
+    replaced by a random known-good record instead of killing training."""
+    for attempt in range(4):
+        try:
+            s = prepare_sample(records[i], **kw)
+            good.add(int(i))
+            return s
+        except Exception:  # noqa: BLE001 - bad image/annotation on disk
+            logger.warning("failed to load record %s (attempt %d); "
+                           "substituting a fallback sample",
+                           records[i].get("file_name", i), attempt + 1,
+                           exc_info=attempt == 0)
+            good.discard(int(i))
+            pool = list(good) if good else list(range(len(records)))
+            i = pool[rng.randint(len(pool))]
+    raise RuntimeError("no loadable training records (4 substitutions failed)")
+
+
 def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
                        min_size: int = 800, max_size: int = 1333,
                        gt_cap: int = 20, mask_res: int = 256, seed: int = 0,
@@ -175,15 +198,17 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
     for name in dataset_names:
         records.extend(DatasetCatalog.get(name))
     rng = np.random.RandomState(seed)
+    good: set = set()
 
     def gen():
         while True:
             idx = rng.permutation(len(records))
             for start in range(0, len(idx) - batch_size + 1, batch_size):
                 samples = [
-                    prepare_sample(
-                        records[i], canvas=canvas, min_size=min_size,
-                        max_size=max_size, flip=rng.rand() < flip_prob,
+                    _prepare_with_fallback(
+                        records, i, rng, good, canvas=canvas,
+                        min_size=min_size, max_size=max_size,
+                        flip=rng.rand() < flip_prob,
                     )
                     for i in idx[start:start + batch_size]
                 ]
