@@ -108,8 +108,8 @@ def _axis_weights(coords, limit, w0, n, win):
     return jnp.mean(m.reshape(r, pn // n, n, win), axis=2), max_corner
 
 
-def _pool_kernel(bidx_ref, wy0_ref, wx0_ref, w_ref, atlas_ref, out_ref,
-                 win_scratch, sems):
+def _pool_kernel(bidx_ref, wy0_ref, wx0_ref, ry_ref, cx_ref, atlas_ref,
+                 out_ref, win_scratch, sems):
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
 
@@ -131,10 +131,17 @@ def _pool_kernel(bidx_ref, wy0_ref, wx0_ref, w_ref, atlas_ref, out_ref,
 
     slot = i % 2
     window_dma(i, slot).wait()
-    win = win_scratch[slot].reshape(WINY * WINX, win_scratch.shape[-1])
-    out_ref[0] = jnp.dot(
-        w_ref[0], win, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    C = win_scratch.shape[-1]
+    P = ry_ref.shape[1]
+    # separable bilinear contraction: out[p,q,c] = sum_yx ry[p,y] cx[q,x] win
+    win = win_scratch[slot].reshape(WINY, WINX * C)
+    tmp = jnp.dot(ry_ref[0], win, preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(P, WINX, C)
+    rows = [
+        jnp.dot(cx_ref[0], tmp[p], preferred_element_type=jnp.float32)
+        for p in range(P)
+    ]  # P x (P, C), unrolled: P is 7/14
+    out_ref[0] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -236,23 +243,25 @@ def _window_geometry(feats, rois, *, strides, output_size, sampling_ratio,
     wx0 = (wx0 // 8) * 8
     ry, max_cy = _axis_weights(ys, Hs, wy0, n, WINY)  # (BK, P, WINY)
     cx, max_cx = _axis_weights(xs, Ws, wx0, n, WINX)  # (BK, P, WINX)
-    # fused interpolation matrix, col = win_y * WINX + win_x
-    w_mat = (ry[:, :, None, :, None] * cx[:, None, :, None, :]).reshape(
-        B * K, P * P, WINY * WINX
-    ).astype(dtype)
-
+    # NOTE: the fused (P*P, WINY*WINX) interpolation matrix is deliberately
+    # NOT materialized: at 4000 ROIs it is ~250M elements of HBM write+read
+    # traffic per pool.  The bilinear weights are separable, so the kernels
+    # take ry/cx (~2 MB total) and contract the axes with two small matmuls.
     bidx = (jnp.arange(B * K, dtype=jnp.int32) // K)
     wy0g = row_off[lvl] + wy0
-    return w_mat, bidx, wy0g, wx0, max_cy, max_cx
+    return (ry.astype(dtype), cx.astype(dtype), bidx, wy0g, wx0,
+            max_cy, max_cx)
 
 
-def _pool_call(atlas, w_mat, bidx, wy0g, wx0, *, P, C, dtype, interpret):
-    BK = w_mat.shape[0]
+def _pool_call(atlas, ry, cx, bidx, wy0g, wx0, *, P, C, dtype, interpret):
+    BK = ry.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BK,),
         in_specs=[
-            pl.BlockSpec((1, P * P, WINY * WINX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, P, WINY), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, WINX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -268,7 +277,7 @@ def _pool_call(atlas, w_mat, bidx, wy0g, wx0, *, P, C, dtype, interpret):
         out_shape=jax.ShapeDtypeStruct((BK, P * P, C), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bidx, wy0g, wx0, w_mat, atlas)
+    )(bidx, wy0g, wx0, ry, cx, atlas)
 
 
 def _windowed_impl(
@@ -282,12 +291,12 @@ def _windowed_impl(
 
     Hpad, Wmax = _atlas_layout(feats)
     atlas = _build_atlas(feats, Hpad, Wmax)
-    w_mat, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
+    ry, cx, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
         feats, rois, strides=strides, output_size=output_size,
         sampling_ratio=sampling_ratio, min_level=min_level, Hpad=Hpad,
         Wmax=Wmax, dtype=dtype,
     )
-    out = _pool_call(atlas, w_mat, bidx, wy0g, wx0, P=P, C=C, dtype=dtype,
+    out = _pool_call(atlas, ry, cx, bidx, wy0g, wx0, P=P, C=C, dtype=dtype,
                      interpret=interpret)
     out = out.reshape(B, K, P, P, C)
 
@@ -330,40 +339,52 @@ def use_windowed_train_pool() -> bool:
     return is_tpu_backend()
 
 
-def _scatter_kernel(bidx_ref, wy0_ref, wx0_ref, w_ref, g_ref, zeros_ref,
-                    out_ref, win_scratch, sems):
+def _scatter_kernel(bidx_ref, wy0_ref, wx0_ref, ry_ref, cx_ref, g_ref,
+                    zeros_ref, out_ref, win_scratch, sems):
     """Backward: per-ROI window read-modify-write accumulation.
 
-    d(atlas window) += W^T @ g.  Windows of different ROIs OVERLAP, so each
-    grid step does a strictly blocking read -> add -> write on the output
-    atlas (no double buffering; correctness over latency).  ``zeros_ref`` is
+    d(atlas)[y,x,c] += sum_pq ry[p,y] cx[q,x] g[p,q,c], contracted
+    separably.  Windows of different ROIs OVERLAP, so each grid step does a
+    strictly blocking read -> add -> write on the output atlas (no double
+    buffering; correctness over latency).  ``zeros_ref`` is
     input-output-aliased to ``out_ref`` so the accumulator starts zeroed."""
     del zeros_ref
     i = pl.program_id(0)
+    C = win_scratch.shape[-1]
+    P = ry_ref.shape[1]
 
     window = out_ref.at[bidx_ref[i], pl.ds(wy0_ref[i], WINY),
                         pl.ds(pl.multiple_of(wx0_ref[i], 8), WINX), :]
     read = pltpu.make_async_copy(window, win_scratch, sems.at[0])
     read.start()
     read.wait()
-    upd = jnp.dot(
-        w_ref[0].T, g_ref[0], preferred_element_type=jnp.float32
-    ).reshape(WINY, WINX, win_scratch.shape[-1])
+    g = g_ref[0].reshape(P, P * C)
+    # u[y, q, c] = sum_p ry[p, y] g[p, q, c]
+    u = jnp.dot(ry_ref[0].T, g, preferred_element_type=jnp.float32)
+    u = u.reshape(WINY, P, C)
+    # upd[y, x, c] = sum_q cx[q, x] u[y, q, c]   (unrolled over y-tiles is
+    # too many dots; contract q per y-row via one transposed matmul each of
+    # the P q-planes instead: upd = sum_q cx[q]^T outer u[:, q, :])
+    upd = jnp.zeros((WINY, WINX, C), jnp.float32)
+    for q in range(P):
+        upd = upd + cx_ref[0, q][None, :, None] * u[:, q, :][:, None, :]
     win_scratch[...] = win_scratch[...] + upd.astype(win_scratch.dtype)
     write = pltpu.make_async_copy(win_scratch, window, sems.at[0])
     write.start()
     write.wait()
 
 
-def _scatter_call(g, w_mat, bidx, wy0g, wx0, atlas_shape, *, P, C, dtype,
+def _scatter_call(g, ry, cx, bidx, wy0g, wx0, atlas_shape, *, P, C, dtype,
                   interpret):
-    BK = w_mat.shape[0]
+    BK = ry.shape[0]
     zeros = jnp.zeros(atlas_shape, dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BK,),
         in_specs=[
-            pl.BlockSpec((1, P * P, WINY * WINX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, P, WINY), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, WINX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P * P, C), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -379,33 +400,33 @@ def _scatter_call(g, w_mat, bidx, wy0g, wx0, atlas_shape, *, P, C, dtype,
         _scatter_kernel,
         out_shape=jax.ShapeDtypeStruct(atlas_shape, dtype),
         grid_spec=grid_spec,
-        input_output_aliases={5: 0},  # zeros atlas (3 scalars + 2 tensors) -> out
+        input_output_aliases={6: 0},  # zeros atlas (3 scalars + 3 tensors) -> out
         interpret=interpret,
-    )(bidx, wy0g, wx0, w_mat, g, zeros)
+    )(bidx, wy0g, wx0, ry, cx, g, zeros)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pool_from_atlas(cfg, atlas, w_mat, bidx, wy0g, wx0):
+def _pool_from_atlas(cfg, atlas, ry, cx, bidx, wy0g, wx0):
     P, C, dtype_name, interpret = cfg
-    return _pool_call(atlas, w_mat, bidx, wy0g, wx0, P=P, C=C,
+    return _pool_call(atlas, ry, cx, bidx, wy0g, wx0, P=P, C=C,
                       dtype=jnp.dtype(dtype_name), interpret=interpret)
 
 
-def _pool_from_atlas_fwd(cfg, atlas, w_mat, bidx, wy0g, wx0):
-    out = _pool_from_atlas(cfg, atlas, w_mat, bidx, wy0g, wx0)
-    return out, (w_mat, bidx, wy0g, wx0, atlas.shape)
+def _pool_from_atlas_fwd(cfg, atlas, ry, cx, bidx, wy0g, wx0):
+    out = _pool_from_atlas(cfg, atlas, ry, cx, bidx, wy0g, wx0)
+    return out, (ry, cx, bidx, wy0g, wx0, atlas.shape)
 
 
 def _pool_from_atlas_bwd(cfg, res, g):
     P, C, dtype_name, interpret = cfg
-    w_mat, bidx, wy0g, wx0, atlas_shape = res
+    ry, cx, bidx, wy0g, wx0, atlas_shape = res
     dtype = jnp.dtype(dtype_name)
     datlas = _scatter_call(
-        g.astype(dtype), w_mat, bidx, wy0g, wx0, atlas_shape,
+        g.astype(dtype), ry, cx, bidx, wy0g, wx0, atlas_shape,
         P=P, C=C, dtype=dtype, interpret=interpret,
     )
     f0 = jax.dtypes.float0
-    return (datlas, jnp.zeros_like(w_mat),
+    return (datlas, jnp.zeros_like(ry), jnp.zeros_like(cx),
             np.zeros(bidx.shape, f0), np.zeros(wy0g.shape, f0),
             np.zeros(wx0.shape, f0))
 
@@ -438,15 +459,16 @@ def multilevel_roi_align_windowed_train(
 
     Hpad, Wmax = _atlas_layout(feats)
     atlas = _build_atlas(feats, Hpad, Wmax)
-    w_mat, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
+    ry, cx, bidx, wy0g, wx0, max_cy, max_cx = _window_geometry(
         feats, rois, strides=strides, output_size=output_size,
         sampling_ratio=sampling_ratio, min_level=min_level, Hpad=Hpad,
         Wmax=Wmax, dtype=dtype,
     )
     cfg = (P, C, jnp.dtype(dtype).name, interpret)
     out = _pool_from_atlas(
-        cfg, atlas, w_mat, jax.lax.stop_gradient(bidx),
-        jax.lax.stop_gradient(wy0g), jax.lax.stop_gradient(wx0)
+        cfg, atlas, jax.lax.stop_gradient(ry), jax.lax.stop_gradient(cx),
+        jax.lax.stop_gradient(bidx), jax.lax.stop_gradient(wy0g),
+        jax.lax.stop_gradient(wx0)
     ).reshape(B, K, P, P, C)
 
     F = min(misfit_budget, K)
