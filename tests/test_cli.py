@@ -89,3 +89,46 @@ class TestCLI:
         rec = json.loads(result_file.read_text().strip().splitlines()[-1])
         assert "Drishti_GS_test" in rec["results"]
         assert "Drishti_mean" in rec["results"]
+
+    def test_source_training(self, dataset_root, tmp_path):
+        """CLI train mode: source training runs, registers default hooks,
+        and checkpoints the final state (reference source-training entry,
+        ``seg_res50fpn_source.yaml``)."""
+        out_dir = tmp_path / "train_out"
+        cmd = [
+            sys.executable, os.path.join(REPO, "train_net.py"),
+            "--config", os.path.join(REPO, "configs/seg_res50fpn_source.yaml"),
+            "--datasets-root", dataset_root,
+            "DATASETS.TRAIN", '["Drishti_GS_test"]',
+            "DATASETS.TEST", "[]",
+            "MODEL.WEIGHTS", "",
+            "OUTPUT_DIR", str(out_dir),
+            "SOLVER.MAX_ITER", "1",
+            "SOLVER.IMS_PER_BATCH", "2",
+            "SOLVER.CHECKPOINT_PERIOD", "1",
+            "SOLVER.AMP.ENABLED", "False",
+            "TEST.EVAL_PERIOD", "0",
+            "INPUT.MIN_SIZE_TEST", "64", "INPUT.MAX_SIZE_TEST", "64",
+            "INPUT.MIN_SIZE_TRAIN", "(64,)", "INPUT.MAX_SIZE_TRAIN", "64",
+            "MODEL.RPN.PRE_NMS_TOPK_TRAIN", "64",
+            "MODEL.RPN.PRE_NMS_TOPK_TEST", "64",
+            "MODEL.RPN.POST_NMS_TOPK_TEST", "32",
+            "TEST.DETECTIONS_PER_IMAGE", "8",
+            "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "16",
+            "MODEL.GRAPH.UNIV_SIZE", "8",
+            "MODEL.GRAPH.GAGM_ITERS", "8",
+            "MODEL.GRAPH.HIPPI_ITERS", "5",
+            "MODEL.GRAPH.SK_ITERS", "5",
+            "MODEL.RESNETS.DEPTH", "14",
+            # detection-only training (reference test_detection.yaml mode);
+            # also halves this eager subprocess's cost
+            "MODEL.MASK_ON", "False",
+        ]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                   JAX_DISABLE_JIT="1")
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                             env=env, cwd=REPO)
+        assert res.returncode == 0, res.stderr[-3000:]
+        ckpts = os.listdir(out_dir / "checkpoints")
+        assert ckpts, "no checkpoint written by CLI training"

@@ -72,6 +72,28 @@ class TestMaskRCNN:
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
 
+    def test_detection_only_mode(self):
+        """``mask_on=False`` (reference MODEL.MASK_ON, test_detection.yaml):
+        no mask head params, no mask loss, zero mask_probs at inference."""
+        model = tiny_model(mask_on=False)
+        images = jnp.ones((1, 64, 64, 3)) * 100.0
+        sizes = jnp.asarray([[64.0, 64.0]])
+        params = model.init(jax.random.PRNGKey(0), images, sizes)
+        assert "mask_head" not in params["params"]
+        det = model.apply(params, images, sizes, method=model.forward_inference)
+        assert float(jnp.abs(det["mask_probs"]).max()) == 0.0
+        losses = model.apply(
+            params, images, sizes,
+            jnp.asarray([[[8.0, 8.0, 40.0, 40.0], [0.0] * 4]]),
+            jnp.asarray([[0, 0]], jnp.int32),
+            jnp.zeros((1, 2, 32, 32), jnp.uint8),
+            jnp.asarray([[True, False]]),
+            jax.random.PRNGKey(1), method=model.loss_supervised,
+        )
+        assert "loss_mask" not in losses
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
     def test_ttt_loss_and_gradient(self, model_and_params):
         model, params = model_and_params
         images = jnp.ones((2, 64, 64, 3)) * 120.0

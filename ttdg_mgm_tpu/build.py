@@ -39,6 +39,7 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         backbone_name=("vgg16" if "vgg" in cfg.MODEL.BACKBONE.NAME else "resnet50"),
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        mask_on=cfg.MODEL.MASK_ON,
         sk_iters=cfg.MODEL.GRAPH.SK_ITERS,
         sk_tau=cfg.MODEL.GRAPH.SK_TAU,
         hippi_iters=cfg.MODEL.GRAPH.HIPPI_ITERS,

@@ -99,6 +99,8 @@ class MaskRCNN(nn.Module):
     # bottleneck stage depths: 50 -> (3,4,6,3); 101 -> (3,4,23,3);
     # 152 -> (3,8,36,3); small non-standard depths (14, 26) for fast tests
     resnet_depth: int = 50
+    # detection-only mode (reference MODEL.MASK_ON=False, test_detection.yaml)
+    mask_on: bool = True
 
     def setup(self):
         if self.backbone_name == "vgg16":
@@ -245,6 +247,12 @@ class MaskRCNN(nn.Module):
             feats, pboxes, pvalid, image_sizes
         )
         B, D = scores.shape
+        if not self.mask_on:
+            mask_probs = jnp.zeros((B, D, 28, 28), jnp.float32)
+            return {
+                "boxes": boxes, "scores": scores, "classes": classes,
+                "valid": valid, "mask_probs": mask_probs,
+            }
         pooled = self._pool(feats, boxes, 14)
         logits = self.mask_head(
             self._head_dtype(pooled.reshape(B * D, *pooled.shape[2:]))
@@ -330,7 +338,7 @@ class MaskRCNN(nn.Module):
         losses["loss_cls"] = jnp.mean(det["loss_cls"])
         losses["loss_box_reg"] = jnp.mean(det["loss_box_reg"])
 
-        if with_mask:
+        if with_mask and self.mask_on:
             cap = self.mask_fg_cap
 
             def compact_fg(boxes, cls, matched, fg):
