@@ -91,6 +91,22 @@ class TestCocoLoading:
         w = s["image"].shape[1]
         np.testing.assert_allclose(s["boxes"][0][0], w - sn["boxes"][0][2], atol=1e-4)
 
+    def test_train_loader_multiscale_choice(self, coco_fixture):
+        """INPUT.MIN_SIZE_TRAIN "choice" sampling: per-sample shortest-edge
+        targets vary while the canvas stays static (reference multi-scale
+        ResizeShortestEdge)."""
+        name, *_ = coco_fixture
+        loader = build_train_loader(
+            [name], batch_size=4, canvas=64, min_size=64, max_size=64,
+            gt_cap=4, mask_res=32, prefetch=0, min_size_choices=(32, 48, 64),
+        )
+        seen = set()
+        for _ in range(6):
+            b = next(loader)
+            assert b["image"].shape == (4, 64, 64, 3)  # static canvas
+            seen.update(float(s) for s in b["image_sizes"][:, 0])
+        assert len(seen) >= 2, seen  # multiple scales actually sampled
+
     def test_train_loader_retries_bad_sample(self, coco_fixture, tmp_path):
         """A record whose image is unreadable is substituted, not fatal
         (reference ``MapDataset`` retry, ``data/common.py:21-42``)."""

@@ -40,6 +40,10 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         backbone_name=("vgg16" if "vgg" in cfg.MODEL.BACKBONE.NAME else "resnet50"),
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
         mask_on=cfg.MODEL.MASK_ON,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
         sk_iters=cfg.MODEL.GRAPH.SK_ITERS,
         sk_tau=cfg.MODEL.GRAPH.SK_TAU,
         hippi_iters=cfg.MODEL.GRAPH.HIPPI_ITERS,
@@ -143,12 +147,18 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
         weight_decay=cfg.SOLVER.WEIGHT_DECAY,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
     )
+    train_sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
     common = dict(
         canvas=_canvas_size(cfg),
         min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST,
         gt_cap=cfg.TPU.MAX_GT_PER_IMAGE,
         mesh=build_mesh(cfg),
+        # reference multi-scale train resize (INPUT.MIN_SIZE_TRAIN "choice");
+        # sizes above the static canvas are fit-to-canvas by the loader
+        train_min_sizes=(tuple(train_sizes)
+                         if cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING == "choice"
+                         and len(train_sizes) > 0 else None),
     )
     if cfg.SEMISUPNET.Trainer == "ateacher":
         return ATeacherTrainer(

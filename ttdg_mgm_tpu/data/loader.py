@@ -192,13 +192,20 @@ def _prepare_with_fallback(records, i, rng, good, **kw):
 def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
                        min_size: int = 800, max_size: int = 1333,
                        gt_cap: int = 20, mask_res: int = 256, seed: int = 0,
-                       flip_prob: float = 0.5, prefetch: int = 2):
-    """Infinite shuffled supervised loader (reference ``build.py:65-118``)."""
+                       flip_prob: float = 0.5, prefetch: int = 2,
+                       min_size_choices=None):
+    """Infinite shuffled supervised loader (reference ``build.py:65-118``).
+
+    ``min_size_choices``: the reference's multi-scale ResizeShortestEdge
+    "choice" sampling (``INPUT.MIN_SIZE_TRAIN``) — each sample draws its
+    shortest-edge target, and the STATIC canvas absorbs the size variation
+    as padding (scale augmentation without shape polymorphism)."""
     records = []
     for name in dataset_names:
         records.extend(DatasetCatalog.get(name))
     rng = np.random.RandomState(seed)
     good: set = set()
+    sizes = list(min_size_choices) if min_size_choices else [min_size]
 
     def gen():
         while True:
@@ -207,7 +214,8 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
                 samples = [
                     _prepare_with_fallback(
                         records, i, rng, good, canvas=canvas,
-                        min_size=min_size, max_size=max_size,
+                        min_size=sizes[rng.randint(len(sizes))],
+                        max_size=max_size,
                         flip=rng.rand() < flip_prob,
                     )
                     for i in idx[start:start + batch_size]

@@ -138,13 +138,17 @@ class BaselineTrainer:
 
     def __init__(self, model, tx, params, *, canvas: int = 800,
                  min_size: int = 800, max_size: int = 1333,
-                 gt_cap: int = 20, mask_res: int = 256, mesh=None):
+                 gt_cap: int = 20, mask_res: int = 256, mesh=None,
+                 train_min_sizes=None):
         self.model = model
         self.tx = tx
         self.state = TrainState.create(params, tx)
         self.canvas = canvas
         self.min_size = min_size
         self.max_size = max_size
+        # reference INPUT.MIN_SIZE_TRAIN multi-scale "choice" sampling;
+        # the static canvas absorbs size variation as padding
+        self.train_min_sizes = train_min_sizes
         self.gt_cap = gt_cap
         self.mask_res = mask_res
         # Data-parallel mesh (the reference's DDP, SURVEY.md section 2.2/5.8):
@@ -242,6 +246,7 @@ class BaselineTrainer:
             dataset_names, batch_size=batch_size, canvas=self.canvas,
             min_size=self.min_size, max_size=self.max_size,
             gt_cap=self.gt_cap, mask_res=self.mask_res, seed=seed,
+            min_size_choices=self.train_min_sizes,
         )
         rng = jax.random.PRNGKey(seed)
         for it in range(int(self.state.step), max_iter):

@@ -101,6 +101,12 @@ class MaskRCNN(nn.Module):
     resnet_depth: int = 50
     # detection-only mode (reference MODEL.MASK_ON=False, test_detection.yaml)
     mask_on: bool = True
+    # detection thresholds (d2 cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST /
+    # NMS_THRESH_TEST / POSITIVE_FRACTION, cfg.MODEL.RPN.NMS_THRESH)
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    roi_positive_fraction: float = 0.25
+    rpn_nms_thresh: float = 0.7
 
     def setup(self):
         if self.backbone_name == "vgg16":
@@ -178,6 +184,7 @@ class MaskRCNN(nn.Module):
             logits, regs, anchors, image_sizes,
             pre_nms_topk=self.pre_nms_topk_train if train else self.pre_nms_topk_test,
             post_nms_topk=self.post_nms_topk,
+            nms_thresh=self.rpn_nms_thresh,
         )
         return (logits, regs, anchors), (boxes, scores, valid)
 
@@ -225,6 +232,8 @@ class MaskRCNN(nn.Module):
         infer = jax.vmap(
             lambda s, d, b, v, hw: roi_box_inference(
                 s, d, b, v, hw, num_classes=self.num_classes,
+                score_thresh=self.score_thresh_test,
+                nms_thresh=self.nms_thresh_test,
                 topk=self.detections_per_image,
             )
         )
@@ -319,6 +328,7 @@ class MaskRCNN(nn.Module):
             lambda pb, pv, gb, gc, gv, k: label_and_sample_proposals(
                 pb, pv, gb, gc, gv, k, num_classes=self.num_classes,
                 batch_size_per_image=S, append_gt=append_gt,
+                positive_fraction=self.roi_positive_fraction,
             )
         )(pboxes, pvalid, gt_boxes, gt_classes, gt_valid, keys)
 
