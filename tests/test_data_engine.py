@@ -91,6 +91,24 @@ class TestCocoLoading:
         w = s["image"].shape[1]
         np.testing.assert_allclose(s["boxes"][0][0], w - sn["boxes"][0][2], atol=1e-4)
 
+    def test_divide_label_unlabel(self, coco_fixture):
+        """DATALOADER.SUP_PERCENT split (reference divide_label_unlabel):
+        deterministic, disjoint, exhaustive; honors pre-generated indices."""
+        from ttdg_mgm_tpu.data.loader import divide_label_unlabel
+
+        name, *_ = coco_fixture
+        recs = DatasetCatalog.get(name)
+        lab, unlab = divide_label_unlabel(recs, 50.0, seed=3)
+        assert len(lab) == 2 and len(unlab) == 2
+        lab2, unlab2 = divide_label_unlabel(recs, 50.0, seed=3)
+        assert [r["image_id"] for r in lab] == [r["image_id"] for r in lab2]
+        ids = {r["image_id"] for r in lab} | {r["image_id"] for r in unlab}
+        assert ids == {r["image_id"] for r in recs}
+        # pre-generated seed table (reference COCO_supervision.txt schema)
+        lab3, _ = divide_label_unlabel(recs, 50.0, seed=1,
+                                       seed_indices={"50.0": {"1": [0, 2]}})
+        assert sorted(r["image_id"] for r in lab3) == [0, 2]
+
     def test_train_loader_multiscale_choice(self, coco_fixture):
         """INPUT.MIN_SIZE_TRAIN "choice" sampling: per-sample shortest-edge
         targets vary while the canvas stays static (reference multi-scale

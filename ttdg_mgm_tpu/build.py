@@ -170,6 +170,9 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
             dis_weight=cfg.SEMISUPNET.DIS_LOSS_WEIGHT,
             pseudo_threshold=cfg.SEMISUPNET.BBOX_THRESHOLD,
             cross_domain=cfg.SEMISUPNET.CROSS_DOMAIN_MATCHING,
+            sup_percent=(cfg.DATALOADER.SUP_PERCENT
+                         if cfg.DATALOADER.SUP_PERCENT < 100.0 else None),
+            split_seed=cfg.DATALOADER.RANDOM_DATA_SEED,
             **common,
         )
     return BaselineTrainer(model, tx, params, **common)

@@ -253,20 +253,51 @@ def build_test_loader(dataset_name: str, *, batch_size: int = 1,
     return _maybe_prefetch(gen(), prefetch)
 
 
+def divide_label_unlabel(records, sup_percent: float, seed: int = 0,
+                         seed_indices: dict | None = None):
+    """Split one dataset into labeled/unlabeled subsets for semi-supervised
+    training (reference ``divide_label_unlabel``, ``build.py:34-61``;
+    ``DATALOADER.SUP_PERCENT`` / ``RANDOM_DATA_SEED``).
+
+    ``seed_indices``: optional pre-generated index table keyed like the
+    reference's COCO_supervision.txt ``{percent: {seed: [indices]}}``;
+    otherwise a deterministic shuffle of ``seed`` picks the labeled set.
+    """
+    n = len(records)
+    num_label = int(sup_percent / 100.0 * n)
+    if seed_indices is not None:
+        labeled_idx = set(seed_indices[str(sup_percent)][str(seed)])
+        assert len(labeled_idx) == num_label, "Number of READ_DATA is mismatched."
+    else:
+        rng = np.random.RandomState(seed)
+        labeled_idx = set(rng.permutation(n)[:num_label].tolist())
+    label = [r for i, r in enumerate(records) if i in labeled_idx]
+    unlabel = [r for i, r in enumerate(records) if i not in labeled_idx]
+    return label, unlabel
+
+
 def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
                           canvas: int = 800, min_size: int = 800,
                           max_size: int = 1333, gt_cap: int = 20,
                           mask_res: int = 256, seed: int = 0,
-                          prefetch: int = 2):
+                          prefetch: int = 2, sup_percent: float | None = None,
+                          split_seed: int = 0):
     """Two-crop semi-supervised loader (reference ``build.py:158-228`` +
     ``DatasetMapperTwoCropSeparate``): weak and strong views share geometry;
-    yields the 4-tuple batch dict for the mean-teacher step."""
+    yields the 4-tuple batch dict for the mean-teacher step.
+
+    ``sup_percent``: when set (and no explicit unlabel datasets are given),
+    the labeled datasets are split DATALOADER.SUP_PERCENT / RANDOM_DATA_SEED
+    style into labeled + unlabeled subsets (reference ``build.py:165-183``)."""
     label_records = []
     for n in label_names:
         label_records.extend(DatasetCatalog.get(n))
     unlabel_records = []
     for n in unlabel_names:
         unlabel_records.extend(DatasetCatalog.get(n))
+    if sup_percent is not None and not unlabel_records:
+        label_records, unlabel_records = divide_label_unlabel(
+            label_records, sup_percent, split_seed)
     rng = np.random.RandomState(seed)
     strong_aug = build_strong_augmentation(seed)
 

@@ -38,8 +38,13 @@ class ATeacherTrainer(BaselineTrainer):
                  teacher_update_iter: int = 1, burn_up_step: int = 0,
                  unsup_weight: float = 1.0, dis_weight: float = 0.1,
                  pseudo_threshold: float = 0.8, cross_domain: bool = False,
+                 sup_percent: float | None = None, split_seed: int = 0,
                  **kw):
         super().__init__(model, tx, params, **kw)
+        # DATALOADER.SUP_PERCENT split of the labeled set (reference
+        # divide_label_unlabel) when no explicit unlabeled datasets exist
+        self.sup_percent = sup_percent
+        self.split_seed = split_seed
         # Replicated across the mesh like the student; only ever updated by
         # the deterministic EMA step, never re-broadcast (the DDP
         # broadcast_buffers=False semantics, SURVEY.md section 5.8).
@@ -67,6 +72,7 @@ class ATeacherTrainer(BaselineTrainer):
             label_names, unlabel_names, batch_size=batch_size,
             canvas=self.canvas, min_size=self.min_size, max_size=self.max_size,
             gt_cap=self.gt_cap, mask_res=self.mask_res, seed=seed,
+            sup_percent=self.sup_percent, split_seed=self.split_seed,
         )
         rng = jax.random.PRNGKey(seed)
         for it in range(int(self.state.step), max_iter):
