@@ -16,6 +16,7 @@ a fixed-size masked tensor here.
 
 from __future__ import annotations
 
+import ast
 import copy
 import os
 from typing import Any
@@ -125,18 +126,37 @@ def _to_plain(node: Any) -> Any:
 
 
 def _decode_value(value: Any) -> Any:
-    """Parse a CLI string into a Python literal when possible."""
+    """Parse a CLI string into a Python literal when possible.
+
+    Python-tuple syntax is accepted like yacs does (the reference configs
+    write ``STEPS: (60000, 80000)``; YAML alone would keep it a string)."""
     if not isinstance(value, str):
         return value
+    s = value.strip()
+    if s[:1] in "([":
+        try:
+            return ast.literal_eval(s)
+        except (ValueError, SyntaxError):
+            pass
     try:
         return yaml.safe_load(value)
     except yaml.YAMLError:
         return value
 
 
+def _decode_strings(node: Any) -> Any:
+    """Recursively re-decode string leaves of a loaded YAML tree so
+    reference-style tuple literals become real sequences."""
+    if isinstance(node, dict):
+        return {k: _decode_strings(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return type(node)(_decode_strings(v) for v in node)
+    return _decode_value(node)
+
+
 def _load_yaml_with_base(path: str) -> dict:
     with open(path) as f:
-        cfg = yaml.safe_load(f) or {}
+        cfg = _decode_strings(yaml.safe_load(f) or {})
     base = cfg.pop("_BASE_", None)
     if base is not None:
         base_path = base if os.path.isabs(base) else os.path.join(os.path.dirname(path), base)

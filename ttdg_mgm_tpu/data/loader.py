@@ -178,11 +178,11 @@ def _prepare_with_fallback(records, i, rng, good, **kw):
             s = prepare_sample(records[i], **kw)
             good.add(int(i))
             return s
-        except Exception:  # noqa: BLE001 - bad image/annotation on disk
-            logger.warning("failed to load record %s (attempt %d); "
+        except (OSError, ValueError) as e:  # bad image/annotation ON DISK;
+            # systematic errors (config bugs -> TypeError etc.) stay fatal
+            logger.warning("failed to load record %s (attempt %d, %s); "
                            "substituting a fallback sample",
-                           records[i].get("file_name", i), attempt + 1,
-                           exc_info=attempt == 0)
+                           records[i].get("file_name", i), attempt + 1, e)
             good.discard(int(i))
             pool = list(good) if good else list(range(len(records)))
             i = pool[rng.randint(len(pool))]
@@ -205,7 +205,8 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
         records.extend(DatasetCatalog.get(name))
     rng = np.random.RandomState(seed)
     good: set = set()
-    sizes = list(min_size_choices) if min_size_choices else [min_size]
+    sizes = ([int(s) for s in min_size_choices] if min_size_choices
+             else [int(min_size)])
 
     def gen():
         while True:
