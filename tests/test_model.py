@@ -72,6 +72,26 @@ class TestMaskRCNN:
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
 
+    def test_architecture_knobs(self):
+        """d2 architecture widths (FPN.OUT_CHANNELS, ROI_BOX_HEAD.FC_DIM /
+        NUM_FC, ROI_MASK_HEAD.CONV_DIM / NUM_CONV, ANCHOR_GENERATOR.SIZES)
+        reach the heads; the graph node dim follows the FPN width."""
+        model = tiny_model(fpn_channels=64, box_fc_dim=128, box_num_fc=1,
+                           mask_conv_dim=32, mask_num_conv=2,
+                           anchor_sizes=((16,), (32,), (64,), (128,), (256,)))
+        images = jnp.ones((1, 64, 64, 3)) * 100.0
+        sizes = jnp.asarray([[64.0, 64.0]])
+        params = model.init(jax.random.PRNGKey(0), images, sizes)["params"]
+        assert params["fpn"]["lateral2"]["kernel"].shape[-1] == 64
+        assert params["box_head"]["fc1"]["kernel"].shape[-1] == 128
+        assert "fc2" not in params["box_head"]
+        assert params["mask_head"]["mask_fcn1"]["kernel"].shape[-1] == 32
+        assert "mask_fcn3" not in params["mask_head"]
+        assert params["U"].shape == (8, 64)
+        loss = model.apply({"params": params}, images, sizes,
+                           method=model.loss_ttt)
+        assert np.isfinite(float(loss))
+
     def test_detection_only_mode(self):
         """``mask_on=False`` (reference MODEL.MASK_ON, test_detection.yaml):
         no mask head params, no mask loss, zero mask_probs at inference."""

@@ -44,6 +44,12 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        fpn_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        box_fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        box_num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
         sk_iters=cfg.MODEL.GRAPH.SK_ITERS,
         sk_tau=cfg.MODEL.GRAPH.SK_TAU,
         hippi_iters=cfg.MODEL.GRAPH.HIPPI_ITERS,

@@ -57,7 +57,7 @@ class ATeacherTrainer(BaselineTrainer):
         # EMA class centers for the cross-domain head (functional state,
         # the reference GModule's "graph-guided memory bank")
         self.centers = self._put_replicated(
-            jnp.zeros((model.num_classes + 1, 256))
+            jnp.zeros((model.num_classes + 1, model.fpn_channels))
         ) if cross_domain else None
         self._mt_step = make_mt_step(
             model, tx, unsup_weight=unsup_weight, dis_weight=dis_weight,

@@ -107,6 +107,14 @@ class MaskRCNN(nn.Module):
     nms_thresh_test: float = 0.5
     roi_positive_fraction: float = 0.25
     rpn_nms_thresh: float = 0.7
+    # architecture widths (d2 cfg.MODEL.FPN.OUT_CHANNELS, ROI_BOX_HEAD.FC_DIM
+    # / NUM_FC, ROI_MASK_HEAD.CONV_DIM / NUM_CONV, ANCHOR_GENERATOR.SIZES)
+    fpn_channels: int = 256
+    box_fc_dim: int = 1024
+    box_num_fc: int = 2
+    mask_conv_dim: int = 256
+    mask_num_conv: int = 4
+    anchor_sizes: Sequence = ((32,), (64,), (128,), (256,), (512,))
 
     def setup(self):
         if self.backbone_name == "vgg16":
@@ -117,33 +125,36 @@ class MaskRCNN(nn.Module):
             stages = {14: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
                       101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.resnet_depth]
             self.backbone = ResNet50(stage_blocks=stages)
-        self.fpn = FPN()
-        self.rpn_head = RPNHead()
-        self.box_head = BoxHead()
+        self.fpn = FPN(self.fpn_channels)
+        self.rpn_head = RPNHead(channels=self.fpn_channels)
+        self.box_head = BoxHead(fc_dim=self.box_fc_dim, num_fc=self.box_num_fc)
         self.box_predictor = BoxPredictor(self.num_classes)
-        self.mask_head = MaskHead(self.num_classes)
+        self.mask_head = MaskHead(self.num_classes, channels=self.mask_conv_dim,
+                                  num_conv=self.mask_num_conv)
         # discriminator width follows the dis_type feature (reference
         # ``rcnn.py:113``: ``_out_feature_channels[dis_type]``); FPN levels
         # are all 256-wide, raw backbone stages widen with depth
         dis_ch = {"res2": 256, "res3": 512, "res4": 1024,
-                  "res5": 2048}.get(self.dis_type, 256)
+                  "res5": 2048}.get(self.dis_type, self.fpn_channels)
         self.D_img = FCDiscriminatorImg(dis_ch)
+        # graph node dim == FPN channel width (nodes are FPN pixels)
+        dim = self.fpn_channels
         self.multi_matching_sup = USup(
-            self.num_classes, self.univ_size, sk_tau=self.sk_tau,
+            self.num_classes, self.univ_size, dim=dim, sk_tau=self.sk_tau,
             sk_iter=self.sk_iters, hippi_iters=self.hippi_iters,
         )
         self.multi_matching_unsup = MGM3Unsup(
-            self.num_classes, self.univ_size, sk_tau=self.sk_tau,
+            self.num_classes, self.univ_size, dim=dim, sk_tau=self.sk_tau,
             sk_iter=self.sk_iters, mgm_iter=self.gagm_iters,
         )
-        self.cross_domain = CrossDomainGraphHead(self.num_classes)
+        self.cross_domain = CrossDomainGraphHead(self.num_classes, dim=dim)
         self.graph_generator = PrototypeComputation(
             self.num_classes, self.sample_dist, self.node_cap_per_level
         )
         self.U = self.param(
             "U",
             lambda key, shape: jax.random.normal(key, shape) + 1.0 / self.univ_size,
-            (self.univ_size, 256),
+            (self.univ_size, dim),
         )
 
     # -- shared feature path -------------------------------------------------
@@ -179,7 +190,10 @@ class MaskRCNN(nn.Module):
         # real localization error)
         logits = [l.astype(jnp.float32) for l in logits]
         regs = [r.astype(jnp.float32) for r in regs]
-        anchors = level_anchors([(f.shape[1], f.shape[2]) for f in levels])
+        anchors = level_anchors(
+            [(f.shape[1], f.shape[2]) for f in levels],
+            sizes=tuple(tuple(s) for s in self.anchor_sizes),
+        )
         boxes, scores, valid = generate_proposals(
             logits, regs, anchors, image_sizes,
             pre_nms_topk=self.pre_nms_topk_train if train else self.pre_nms_topk_test,
@@ -447,7 +461,7 @@ class MaskRCNN(nn.Module):
         graph modules and discriminator)."""
         out = self.forward_inference(images, image_sizes)
         _ = self.D_img(self._dis_feature(images))
-        dummy_nodes = jnp.zeros((2, 4, 256))
+        dummy_nodes = jnp.zeros((2, 4, self.fpn_channels))
         dummy_labels = jnp.ones((2, 4), jnp.int32)
         dummy_mask = jnp.ones((2, 4), bool)
         _ = self.multi_matching_sup(dummy_nodes, dummy_labels, dummy_mask, self.U)

@@ -31,15 +31,17 @@ BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
 
 class BoxHead(nn.Module):
-    """FastRCNNConvFCHead with NUM_FC=2 (flatten -> 1024 -> 1024)."""
+    """FastRCNNConvFCHead (cfg.MODEL.ROI_BOX_HEAD.NUM_FC / FC_DIM;
+    d2 default: flatten -> 1024 -> 1024)."""
 
     fc_dim: int = 1024
+    num_fc: int = 2
 
     @nn.compact
     def __call__(self, x):  # (K, 7, 7, C)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc2")(x))
+        for i in range(self.num_fc):
+            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
         return x
 
 
@@ -62,14 +64,16 @@ class BoxPredictor(nn.Module):
 
 
 class MaskHead(nn.Module):
-    """MaskRCNNConvUpsampleHead: 4x conv3x3 + deconv2x2 + 1x1 predictor."""
+    """MaskRCNNConvUpsampleHead (cfg.MODEL.ROI_MASK_HEAD.NUM_CONV /
+    CONV_DIM; d2 default: 4x conv3x3 + deconv2x2 + 1x1 predictor)."""
 
     num_classes: int
     channels: int = 256
+    num_conv: int = 4
 
     @nn.compact
     def __call__(self, x):  # (K, 14, 14, C)
-        for i in range(4):
+        for i in range(self.num_conv):
             x = nn.relu(
                 nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                         name=f"mask_fcn{i + 1}")(x)
