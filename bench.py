@@ -102,6 +102,9 @@ def warm_params(model, params, np, jnp, jax):
             if not np.isfinite(lv):
                 raise RuntimeError(
                     f"bench warmup diverged: total_loss={lv} at iter {it}")
+            import sys
+            print(f"# bench warmup {it + 1}/{WARM_STEPS} loss={lv:.3f} "
+                  f"t={time.time():.0f}", file=sys.stderr, flush=True)
     warmed = jax.device_get(state.params)
     with open(path, "wb") as f:
         f.write(fser.to_bytes(warmed))

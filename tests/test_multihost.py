@@ -1,0 +1,189 @@
+"""Multi-PROCESS data parallelism (the across-host half of SURVEY section 5.8).
+
+``tests/test_parallel.py`` proves the single-process 8-device mesh; here two
+OS processes (4 virtual CPU devices each) rendezvous through
+``jax.distributed`` with the gloo cross-process collective backend and run
+one SGD step over a single global 8-device mesh — the DDP-across-machines
+semantics of the reference's ``launch(num_machines, machine_rank, dist_url)``
+(reference ``train_net.py:94-101``).
+
+The always-on test uses a mini conv model (seconds to compile); the full
+tiny-Mask-R-CNN source step across processes is gated behind
+``TTDG_MULTIHOST_FULL=1`` (minutes of XLA:CPU compile on a 1-core host).
+
+Top-level imports stay jax-free: the child re-executes THIS file with its own
+platform env, which must be set before jax initializes.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---- mini DDP workload (shared by parent expectation + children) ----------
+
+def _mini_params(jnp):
+    r = np.random.RandomState(0)
+    return {"w": jnp.asarray(r.randn(3, 3, 3, 8) * 0.1, jnp.float32),
+            "b": jnp.zeros((8,), jnp.float32),
+            "v": jnp.asarray(r.randn(8, 2) * 0.1, jnp.float32)}
+
+
+def _global_data():
+    r = np.random.RandomState(1)
+    return (r.rand(8, 16, 16, 3).astype(np.float32),
+            r.randint(0, 2, (8,)).astype(np.int32))
+
+
+def _sgd_step(jax, jnp, params, images, labels, lr=0.1):
+    def loss_fn(p):
+        x = jax.lax.conv_general_dilated(
+            images, p["w"], (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + p["b"])
+        logits = jnp.mean(x, axis=(1, 2)) @ p["v"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    return loss, jax.tree.map(lambda p, gg: p - lr * gg, params, g)
+
+
+# ---- child process ---------------------------------------------------------
+
+def _child(pid: int, port: int, mode: str) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # undo any site-hook pin
+
+    from ttdg_mgm_tpu.parallel.multihost import (
+        allgather_metrics, global_batch, initialize_multihost)
+
+    initialize_multihost(f"tcp://localhost:{port}", 2, pid, cpu_gloo=True)
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 4
+    assert jax.device_count() == 8
+
+    import jax.numpy as jnp
+
+    from ttdg_mgm_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh(jax.devices())
+    lo = pid * 4
+
+    if mode == "fast":
+        imgs, labels = _global_data()
+        gb = global_batch(mesh, {"image": imgs[lo:lo + 4],
+                                 "label": labels[lo:lo + 4]})
+        params = replicate(mesh, _mini_params(jnp))
+        step = jax.jit(lambda p, im, lb: _sgd_step(jax, jnp, p, im, lb))
+        loss, newp = step(params, gb["image"], gb["label"])
+        psum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(newp)))
+        ag = allgather_metrics(np.asarray([float(pid)], np.float32))
+        out = {"pid": pid, "loss": float(loss), "psum": psum,
+               "ag": np.asarray(ag).ravel().tolist()}
+    else:  # full: the tiny flagship source step across processes
+        import __graft_entry__ as ge
+        from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step
+        from ttdg_mgm_tpu.solver.build import build_optimizer
+
+        model = ge._flagship(tiny=True)
+        B = 8
+        images = np.full((B, 64, 64, 3), 128.0, np.float32)
+        sizes = np.tile([[64.0, 64.0]], (B, 1)).astype(np.float32)
+        batch = {
+            "image": images,
+            "image_sizes": sizes,
+            "gt_boxes": np.tile([[[8.0, 8.0, 40.0, 40.0],
+                                  [16.0, 16.0, 48.0, 48.0]]], (B, 1, 1)
+                                ).astype(np.float32),
+            "gt_classes": np.tile([[0, 1]], (B, 1)).astype(np.int32),
+            "gt_masks": np.ones((B, 2, 32, 32), np.uint8),
+            "gt_valid": np.ones((B, 2), bool),
+        }
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(images[:1]),
+                            jnp.asarray(sizes[:1]))["params"]
+        tx = build_optimizer(params, lambda _: 0.0025)
+        state = replicate(mesh, TrainState.create(params, tx))
+        gb = global_batch(mesh, {k: v[lo:lo + 4] for k, v in batch.items()})
+        rng = replicate(mesh, jax.random.PRNGKey(1))
+        step = make_source_step(model, tx)
+        state, metrics = step(state, gb, rng)
+        out = {"pid": pid,
+               "metrics": {k: float(v) for k, v in metrics.items()}}
+
+    print("CHILD_RESULT " + json.dumps(out), flush=True)
+
+
+# ---- parent-side harness ---------------------------------------------------
+
+def _spawn(mode: str, timeout: int):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # child sets its own 4-device flags
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "child", str(i),
+             str(port), mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO)
+        for i in (0, 1)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        lines = [l for l in out.splitlines() if l.startswith("CHILD_RESULT ")]
+        assert lines, f"no result line:\n{out}\n{err}"
+        results.append(json.loads(lines[-1].removeprefix("CHILD_RESULT ")))
+    return results
+
+
+def test_two_process_ddp_parity():
+    r0, r1 = _spawn("fast", timeout=600)
+    # SPMD: both processes hold the replicated result — identical values
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    assert r0["psum"] == pytest.approx(r1["psum"], rel=1e-6)
+    # process_allgather saw both processes' contributions, in rank order
+    assert r0["ag"] == [0.0, 1.0] and r1["ag"] == [0.0, 1.0]
+
+    # parity with the same step computed locally (no process parallelism)
+    import jax
+    import jax.numpy as jnp
+
+    imgs, labels = _global_data()
+    loss, newp = jax.jit(
+        lambda p, im, lb: _sgd_step(jax, jnp, p, im, lb)
+    )(_mini_params(jnp), jnp.asarray(imgs), jnp.asarray(labels))
+    psum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(newp)))
+    np.testing.assert_allclose(r0["loss"], float(loss), rtol=1e-5)
+    np.testing.assert_allclose(r0["psum"], psum, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.environ.get("TTDG_MULTIHOST_FULL"),
+                    reason="minutes of XLA:CPU compile; set "
+                           "TTDG_MULTIHOST_FULL=1 to run")
+def test_two_process_full_source_step():
+    r0, r1 = _spawn("full", timeout=1800)
+    for k, v in r0["metrics"].items():
+        assert np.isfinite(v), k
+        assert v == pytest.approx(r1["metrics"][k], rel=1e-5), k
+
+
+if __name__ == "__main__":
+    assert sys.argv[1] == "child"
+    _child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

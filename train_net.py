@@ -26,6 +26,14 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--datasets-root", default=None,
                    help="root of the Fundus/Polyp dataset tree (or TTDG_DATASETS)")
+    # multi-host flags mirroring the reference's launch() args
+    # (reference train_net.py:94-101 / d2 default_argument_parser): one
+    # process per HOST here, rendezvous via jax.distributed
+    p.add_argument("--num-machines", type=int, default=1)
+    p.add_argument("--machine-rank", type=int, default=0)
+    p.add_argument("--dist-url", default=None,
+                   help="coordinator tcp://host:port (default: TPU pod "
+                        "auto-discovery)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -42,6 +50,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if args.num_machines > 1 or args.dist_url:
+        from ttdg_mgm_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost(args.dist_url, args.num_machines,
+                             args.machine_rank)
 
     from ttdg_mgm_tpu.config import setup_cfg
     from ttdg_mgm_tpu.data.builtin import register_all_medical

@@ -39,12 +39,45 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree across the mesh."""
+    """Replicate a pytree across the mesh.
+
+    Multi-process (multi-host) meshes contain devices this process cannot
+    address, so ``device_put`` is illegal there; every process holds the SAME
+    host values (deterministic init/checkpoint load), and
+    ``make_array_from_process_local_data`` assembles the global replicated
+    array from them.
+    """
     s = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree,
+        )
     return jax.device_put(tree, s)
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Shard every leaf's leading (batch) axis over the ``data`` axis."""
+    """Shard every leaf's leading (batch) axis over the ``data`` axis.
+
+    Every caller passes the GLOBAL batch (the loaders are seed-deterministic,
+    so all processes hold identical host copies — the reference's shared-seed
+    d2 sampler with per-rank splitting, ``data/build.py:241-255``).  In a
+    multi-process mesh each process contributes only its contiguous slice of
+    the leading axis; single-process meshes take the plain device_put path.
+    """
     s = NamedSharding(mesh, P("data"))
+    nproc = jax.process_count()
+    if nproc > 1:
+        pid = jax.process_index()
+
+        def put(x):
+            x = np.asarray(x)
+            b = x.shape[0]
+            assert b % nproc == 0, (
+                f"global batch {b} not divisible by process count {nproc}")
+            lb = b // nproc
+            return jax.make_array_from_process_local_data(
+                s, x[pid * lb:(pid + 1) * lb])
+
+        return jax.tree.map(put, batch)
     return jax.device_put(batch, s)
