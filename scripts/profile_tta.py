@@ -82,6 +82,11 @@ def main():
     else:
         print("warmed weights: NONE (random init; matching may be inactive)")
 
+    # device-put ONCE: fser.from_bytes leaves numpy arrays, and jit re-feeds
+    # host args through the tunnel EVERY call (~180 MB of weights, ~0.5 s) —
+    # measured piece timings were transfer-dominated garbage until this line
+    params = jax.device_put(params)
+
     raw = bench.synth_batch(np, H, B, seed=99, with_gt=False)
     images = jnp.asarray(raw["image"])
     sizes = jnp.asarray(raw["image_sizes"])
@@ -113,8 +118,26 @@ def main():
     mask = jax.jit(nodes_fn)(params, images, sizes)
     print(f"nodes sampled         : {int(jnp.sum(mask))}")
 
+    # detector-only TTT path: everything loss_ttt does EXCEPT the MGM3 solve
+    # (isolates the matching module's cost inside the step)
+    def det_only(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            boxes, scores, classes, valid = m._box_inference(feats, pb, pv, s)
+            nodes, labels, mask = m.graph_generator(
+                m._feature_list(feats), jax.lax.stop_gradient(boxes), classes,
+                valid)
+            return jnp.sum(nodes.astype(jnp.float32) ** 2)
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    det_grad = jax.jit(lambda p, im, sz: jax.value_and_grad(
+        lambda q: det_only(q, im, sz))(p))
+
     print(f"backbone+fpn fwd      : {timeit(feats_fn, params, images):8.2f} ms")
     print(f"inference fwd         : {timeit(fwd, params, images, sizes):8.2f} ms")
+    print(f"det-only fwd+bwd      : {timeit(det_grad, params, images, sizes):8.2f} ms")
     print(f"ttt loss fwd          : {timeit(ttt, params, images, sizes):8.2f} ms")
     print(f"ttt loss fwd+bwd      : {timeit(ttt_grad, params, images, sizes):8.2f} ms")
 

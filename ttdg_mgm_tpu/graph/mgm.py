@@ -53,17 +53,31 @@ class MGM3Unsup(nn.Module):
     mgm_iter: int = 200
     num_clusters: int = 1  # >1 enables the MGM-Mixture clustering outer step
     use_fused_gagm: bool | None = None  # None = auto (fused Pallas on TPU)
+    # exact-LAP polish budget after the in-kernel mutual-argmax finale (the
+    # fused path): iterations of the reference's hungarian-projector round,
+    # run OUTSIDE the kernel with the exact JV-LAP.  Real TTA problems either
+    # agree with the mutual-argmax fixpoint immediately (2 iterations: one
+    # step + the convergence check) or are chaotic, where the reference's own
+    # 200-cut is an arbitrary orbit point; see scripts/measure_finale.py.
+    lap_polish_iters: int = 8
 
-    @nn.compact
-    def __call__(self, nodes, labels, mask, U):
+    def setup(self):
+        self.intra_domain_graph = MultiHeadAttention(self.dim, 1, dropout=0.1)
+        self.node_affinity = Affinity(self.dim)
+
+    def build_problem(self, nodes, labels, mask, U):
+        """The GA-GM problem tensors from raw nodes: intra-graph adjacency
+        ``A (T, T)``, joint pairwise doubly-stochastic ``Wds (T, T)`` (and its
+        ``(G, G, M, M)`` block view + pair validity, the loss inputs), seed
+        ``U0 (T, univ)``, valid counts ``ms (G,)``.  Exposed as a module
+        method so profiling/measurement tools can capture the REAL solver
+        inputs of a live step (scripts/measure_finale.py)."""
         G, M, D = nodes.shape
         T = G * M
         ms = jnp.sum(mask.astype(jnp.int32), axis=-1)
 
         # --- intra-graph adjacency (reference :496-502), diagonal zeroed ---
-        _, adj = MultiHeadAttention(self.dim, 1, dropout=0.1, name="intra_domain_graph")(
-            nodes, mask
-        )
+        _, adj = self.intra_domain_graph(nodes, mask)
         eye_m = jnp.eye(M, dtype=bool)
         adj = jnp.where(eye_m[None], 0.0, adj)
         A = jnp.zeros((T, T), jnp.float32)
@@ -75,10 +89,9 @@ class MGM3Unsup(nn.Module):
         A, _ = jax.lax.scan(place, A, (jnp.arange(G) * M, adj))
 
         # --- all-pairs affinity -> pairwise doubly-stochastic Wds (:504-525) ---
-        affinity = Affinity(self.dim, name="node_affinity")
         # (G, 1, M, D) x (1, G, M, D) -> (G, G, M, M); pair (i, j) scores
         # affinity(nodes_i, nodes_j).
-        aff = affinity(
+        aff = self.node_affinity(
             jnp.broadcast_to(nodes[:, None], (G, G, M, D)),
             jnp.broadcast_to(nodes[None, :], (G, G, M, D)),
         )
@@ -101,9 +114,16 @@ class MGM3Unsup(nn.Module):
         # assemble the (T, T) joint matrix from (G, G, M, M) blocks
         Wds = ds_sym.transpose(0, 2, 1, 3).reshape(T, T)
 
-        # --- GA-GM seeded by the frozen universe (:527-533) ---
+        # --- GA-GM seed from the frozen universe (:527-533) ---
         U0 = jnp.einsum("gmd,ud->gmu", nodes, U)
         U0 = jnp.where(mask[..., None], U0, 0.0).reshape(T, self.univ_size)
+        return A, Wds, ds_sym, pair_valid, U0, ms
+
+    def __call__(self, nodes, labels, mask, U):
+        G, M, D = nodes.shape
+        T = G * M
+        A, Wds, ds_sym, pair_valid, U0, ms = self.build_problem(
+            nodes, labels, mask, U)
         if self.num_clusters > 1:
             from ttdg_mgm_tpu.graph.solvers import ga_gm_mixture
 
@@ -129,19 +149,27 @@ class MGM3Unsup(nn.Module):
                 from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
                 from ttdg_mgm_tpu.ops.pallas.gagm_pallas import ga_gm_fused
 
-                # VMEM kernel runs the long annealed Sinkhorn rounds; the
-                # short terminal Hungarian round runs outside with the exact
-                # JV-LAP (reference-faithful discretization — mutual argmax
-                # drops conflicted rows on weak-signal problems, measured in
-                # tests/test_torch_parity.py)
+                # The VMEM kernel runs the annealed Sinkhorn rounds AND the
+                # hard-projection finale with mutual-argmax (~2 ms); the
+                # exact on-device JV-LAP then POLISHES the fixpoint with a
+                # short bounded hungarian-projector round outside the kernel.
+                # On well-determined problems the exact iteration confirms
+                # the kernel's fixpoint in 2 iterations (LAP == mutual
+                # argmax when unambiguous); the reference's full-length
+                # round (its 200-iteration scipy-Hungarian loop,
+                # multi_graph_matching.py:374-387) differs only on chaotic
+                # problems where its own 200-cut is an arbitrary orbit
+                # point — deviation quantified in scripts/measure_finale.py
+                # and bounded by the loss-level parity tests.
                 U_c = ga_gm_fused(
                     A, Wds, U0, ms, self.univ_size,
                     interpret=not is_tpu_backend(),
-                    final_hungarian=False, **solver_kw,
+                    final_hungarian=True, **solver_kw,
                 )
                 U_b = final_hungarian_round(
                     A, Wds, U_c, ms, self.univ_size,
-                    quad_weight=self.quad_weight, mgm_iter=self.mgm_iter,
+                    quad_weight=self.quad_weight,
+                    mgm_iter=self.lap_polish_iters,
                     sk_iter=self.sk_iter, tau=1e-2, tol=1e-3,
                 )
             else:
