@@ -49,6 +49,80 @@ class TestCOCOEval:
         assert res["AP50"] > 99.0
         assert res["AP75"] == 0.0
 
+    def test_iscrowd_is_ignore_region(self):
+        """pycocotools crowd semantics (reference coco_evaluation.py:598-642):
+        a detection matching a crowd GT is neither TP nor FP, and the crowd
+        GT never enters the recall denominator."""
+        gt_reg = [10.0, 10.0, 50.0, 50.0]
+        crowd = [100.0, 100.0, 300.0, 300.0]
+        det_tp = gt_reg
+        det_in_crowd = [150.0, 150.0, 170.0, 170.0]  # tiny box inside crowd
+
+        # with the crowd annotation: the in-crowd det is IGNORED -> AP 100
+        ev = COCOEvaluator(iou_types=("bbox",))
+        ev.process(det_boxes=[det_tp, det_in_crowd], det_scores=[0.8, 0.9],
+                   det_classes=[0, 0], gt_boxes=[gt_reg, crowd],
+                   gt_classes=[0, 0], gt_crowd=[0, 1])
+        assert ev.evaluate()["bbox"]["AP"] > 99.0
+
+        # same GT boxes but NOT crowd: higher-scored det matches the large
+        # GT only at IoU (20*20)/(200*200) ~ 0.01 -> it's an FP -> AP drops
+        ev2 = COCOEvaluator(iou_types=("bbox",))
+        ev2.process(det_boxes=[det_tp, det_in_crowd], det_scores=[0.8, 0.9],
+                    det_classes=[0, 0], gt_boxes=[gt_reg, crowd],
+                    gt_classes=[0, 0], gt_crowd=[0, 0])
+        assert ev2.evaluate()["bbox"]["AP"] < 99.0
+
+    def test_crowd_absorbs_multiple_detections(self):
+        """A crowd region may ignore ANY number of detections; a regular GT
+        matches only the first."""
+        crowd = [0.0, 0.0, 100.0, 100.0]
+        dets = [[10.0, 10.0, 30.0, 30.0], [40.0, 40.0, 70.0, 70.0],
+                [5.0, 60.0, 35.0, 95.0]]
+        ev = COCOEvaluator(iou_types=("bbox",))
+        ev.process(det_boxes=dets, det_scores=[0.9, 0.8, 0.7],
+                   det_classes=[0, 0, 0], gt_boxes=[crowd],
+                   gt_classes=[0], gt_crowd=[1])
+        res = ev.evaluate()["bbox"]
+        # all dets ignored, no valid GT anywhere -> AP undefined (NaN)
+        assert np.isnan(res["AP"])
+
+        # add one real GT+TP: the three in-crowd dets must not dilute AP
+        ev.process(det_boxes=[[200.0, 200.0, 240.0, 240.0]], det_scores=[0.6],
+                   det_classes=[0], gt_boxes=[[200.0, 200.0, 240.0, 240.0]],
+                   gt_classes=[0], gt_crowd=[0])
+        assert ev.evaluate()["bbox"]["AP"] > 99.0
+
+    def test_crowd_iou_uses_det_area(self):
+        """IoU against a crowd GT divides by the DET area: a det fully inside
+        a huge crowd still reaches IoU 1.0 (pycocotools iscrowd IoU)."""
+        from ttdg_mgm_tpu.evaluation.coco_eval import mask_iou_matrix
+
+        dt = np.array([[10.0, 10.0, 20.0, 20.0]])
+        gt = np.array([[0.0, 0.0, 1000.0, 1000.0]])
+        assert bbox_iou_matrix(dt, gt, np.array([True]))[0, 0] == 1.0
+        assert bbox_iou_matrix(dt, gt, np.array([False]))[0, 0] < 0.001
+
+        dm = np.zeros((32, 32), bool)
+        dm[10:20, 10:20] = True
+        gm = np.ones((32, 32), bool)
+        assert mask_iou_matrix([dm], [gm], np.array([True]))[0, 0] == 1.0
+        assert mask_iou_matrix([dm], [gm], np.array([False]))[0, 0] < 0.2
+
+    def test_packed_mask_iou_matches_dense(self):
+        rng = np.random.RandomState(0)
+        dts = [rng.rand(33, 47) > 0.5 for _ in range(3)]
+        gts = [rng.rand(33, 47) > 0.5 for _ in range(4)]
+        from ttdg_mgm_tpu.evaluation.coco_eval import mask_iou_matrix
+
+        got = mask_iou_matrix(dts, gts)
+        want = np.zeros((3, 4))
+        for i, d in enumerate(dts):
+            for j, g in enumerate(gts):
+                inter = (d & g).sum()
+                want[i, j] = inter / (d.sum() + g.sum() - inter)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
 
 class TestOT:
     def test_identical_clouds_near_zero(self):

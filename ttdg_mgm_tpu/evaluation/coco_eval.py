@@ -22,7 +22,10 @@ AREA_RANGES = {
 }
 
 
-def bbox_iou_matrix(dt, gt):
+def bbox_iou_matrix(dt, gt, gt_crowd=None):
+    """Pairwise box IoU; for crowd GTs the denominator is the DETECTION
+    area only (pycocotools ``iou(dt, gt, iscrowd=True)`` — a detection fully
+    inside a crowd region scores 1 regardless of the region's extent)."""
     if len(dt) == 0 or len(gt) == 0:
         return np.zeros((len(dt), len(gt)))
     lt = np.maximum(dt[:, None, :2], gt[None, :, :2])
@@ -32,20 +35,34 @@ def bbox_iou_matrix(dt, gt):
     a1 = (dt[:, 2] - dt[:, 0]) * (dt[:, 3] - dt[:, 1])
     a2 = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
     union = a1[:, None] + a2[None, :] - inter
+    if gt_crowd is not None and gt_crowd.any():
+        union = np.where(gt_crowd[None, :], np.broadcast_to(a1[:, None], union.shape), union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def mask_iou_matrix(dt_masks, gt_masks):
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                          axis=1).sum(1).astype(np.int64)
+
+
+def mask_iou_matrix(dt_masks, gt_masks, gt_crowd=None):
+    """Pairwise mask IoU via packed bits + popcount (8 pixels/byte, the
+    whole D x G grid in one vectorized AND — replaces the O(N*M) Python
+    double loop over full-resolution masks).  Crowd GT union = det area
+    (pycocotools semantics, reference ``coco_evaluation.py:598-642``)."""
     n, m = len(dt_masks), len(gt_masks)
-    out = np.zeros((n, m))
-    for i in range(n):
-        di = dt_masks[i].astype(bool)
-        for j in range(m):
-            gj = gt_masks[j].astype(bool)
-            inter = np.logical_and(di, gj).sum()
-            union = di.sum() + gj.sum() - inter
-            out[i, j] = inter / union if union > 0 else 0.0
-    return out
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    dp = np.stack([np.packbits(np.asarray(x, bool).ravel()) for x in dt_masks])
+    gp = np.stack([np.packbits(np.asarray(x, bool).ravel()) for x in gt_masks])
+    inter = _POPCOUNT[np.bitwise_and(dp[:, None], gp[None, :])].sum(-1)
+    da = _POPCOUNT[dp].sum(-1)
+    ga = _POPCOUNT[gp].sum(-1)
+    union = (da[:, None] + ga[None, :] - inter).astype(np.float64)
+    if gt_crowd is not None and gt_crowd.any():
+        union = np.where(gt_crowd[None, :],
+                         np.broadcast_to(da[:, None].astype(np.float64), union.shape),
+                         union)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
 class COCOEvaluator:
@@ -61,7 +78,13 @@ class COCOEvaluator:
         self._images = []
 
     def process(self, *, det_boxes, det_scores, det_classes, det_masks=None,
-                gt_boxes, gt_classes, gt_masks=None):
+                gt_boxes, gt_classes, gt_masks=None, gt_crowd=None):
+        """``gt_crowd``: per-GT ``iscrowd`` flags.  Crowd GTs are IGNORE
+        regions (pycocotools / reference ``coco_evaluation.py:598-642``):
+        they never count toward recall, detections matching them are
+        neither TP nor FP, they may absorb multiple detections, and their IoU
+        denominator is the detection's own area."""
+        n_gt = np.asarray(gt_classes, np.int64).reshape(-1).shape[0]
         self._images.append(dict(
             det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
             det_scores=np.asarray(det_scores, np.float64).reshape(-1),
@@ -70,6 +93,8 @@ class COCOEvaluator:
             gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
             gt_classes=np.asarray(gt_classes, np.int64).reshape(-1),
             gt_masks=gt_masks,
+            gt_crowd=(np.zeros(n_gt, bool) if gt_crowd is None
+                      else np.asarray(gt_crowd, bool).reshape(-1)),
         ))
 
     def _match_image(self, img, cls, iou_type, area_range):
@@ -78,17 +103,22 @@ class COCOEvaluator:
         dt_boxes = img["det_boxes"][dsel]
         scores = img["det_scores"][dsel]
         gt_boxes = img["gt_boxes"][gsel]
+        crowd = img["gt_crowd"][gsel]
         order = np.argsort(-scores)
         dt_boxes = dt_boxes[order]
         scores = scores[order]
         ga = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
-        gt_ignore = (ga < area_range[0]) | (ga > area_range[1])
+        gt_ignore = crowd | (ga < area_range[0]) | (ga > area_range[1])
+        # pycocotools sorts GTs ignore-last so the matching loop's
+        # prefer-non-ignored break rule is correct
+        gorder = np.argsort(gt_ignore, kind="mergesort")
+        gt_boxes, gt_ignore, crowd = gt_boxes[gorder], gt_ignore[gorder], crowd[gorder]
         if iou_type == "segm" and img["det_masks"] is not None:
             dmask = [img["det_masks"][i] for i in np.nonzero(dsel)[0][order]]
-            gmask = [img["gt_masks"][j] for j in np.nonzero(gsel)[0]]
-            iou = mask_iou_matrix(dmask, gmask)
+            gmask = [img["gt_masks"][j] for j in np.nonzero(gsel)[0][gorder]]
+            iou = mask_iou_matrix(dmask, gmask, crowd)
         else:
-            iou = bbox_iou_matrix(dt_boxes, gt_boxes)
+            iou = bbox_iou_matrix(dt_boxes, gt_boxes, crowd)
         n_dt, n_gt = iou.shape
         T = len(IOU_THRESHOLDS)
         dt_match = np.zeros((T, n_dt), np.int64) - 1
@@ -98,7 +128,9 @@ class COCOEvaluator:
             for d in range(n_dt):
                 best, bj = thr, -1
                 for j in range(n_gt):
-                    if gt_matched[t, j] and not gt_ignore[j]:
+                    # a non-crowd GT matches at most one detection; a crowd
+                    # region may absorb any number (pycocotools evaluateImg)
+                    if gt_matched[t, j] and not crowd[j]:
                         continue
                     if bj >= 0 and not gt_ignore[bj] and gt_ignore[j]:
                         break  # prefer non-ignored matches (pycocotools rule)
