@@ -102,3 +102,28 @@ class TestEvaluator:
         ev = DiceEvaluator(score_threshold=0.0)
         ev.process([gt], [1], [0.99], [gt], [0])
         assert ev.dice_scores == [0.0]
+
+
+class TestVisualize:
+    def test_dump_visualization_writes_overlays(self, tmp_path):
+        """TEST.DRAW output layout (reference trainer.py:1288-1308 box dumps
+        under OUTPUT_DIR/visual, :1376-1406 mask overlays under /masks)."""
+        from ttdg_mgm_tpu.utils.visualize import dump_visualization
+
+        img = np.full((32, 48, 3), 20, np.uint8)
+        mask = np.zeros((32, 48), bool)
+        mask[8:16, 10:20] = True
+        det = {
+            "boxes": np.asarray([[10.0, 8.0, 20.0, 16.0]]),
+            "scores": np.asarray([0.9]),
+            "classes": np.asarray([0]),
+            "masks": [mask],
+        }
+        dump_visualization(str(tmp_path), 7, img, det)
+        import cv2
+
+        boxed = cv2.imread(str(tmp_path / "visual" / "7.png"))
+        masked = cv2.imread(str(tmp_path / "masks" / "7.png"))
+        assert boxed.shape == (32, 48, 3) and masked.shape == (32, 48, 3)
+        # the overlays actually drew something
+        assert (boxed != 20).any() and (masked != 20).any()

@@ -46,6 +46,16 @@ def overlay_masks(image: np.ndarray, masks, classes=None,
     return out.astype(np.uint8)
 
 
+def mask_image(image: np.ndarray, masks) -> np.ndarray:
+    """White masks on a black canvas the size of the image — the reference's
+    per-image mask dump (``draw_mask_img``, ``trainer.py:1376-1406``), which
+    writes one file per evaluated image even with zero detections."""
+    out = np.zeros_like(np.asarray(image), dtype=np.uint8)
+    for m in masks:
+        out[np.asarray(m, bool)] = 255
+    return out
+
+
 def dump_visualization(output_dir: str, image_id, image, detections,
                        class_names=None):
     """Write box + mask overlays (reference ``OUTPUT_DIR/visual`` and
@@ -59,6 +69,7 @@ def dump_visualization(output_dir: str, image_id, image, detections,
     boxed = draw_detections(image, detections["boxes"], detections["scores"],
                             detections["classes"], class_names)
     cv2.imwrite(os.path.join(vis_dir, f"{image_id}.png"), boxed[..., ::-1])
-    if "masks" in detections and len(detections["masks"]):
-        masked = overlay_masks(image, detections["masks"], detections["classes"])
-        cv2.imwrite(os.path.join(mask_dir, f"{image_id}.png"), masked[..., ::-1])
+    # one mask dump per image regardless of detection count (the reference
+    # writes a black canvas when nothing scored high enough)
+    masked = mask_image(image, detections.get("masks", []))
+    cv2.imwrite(os.path.join(mask_dir, f"{image_id}.png"), masked[..., ::-1])
