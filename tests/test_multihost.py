@@ -144,12 +144,21 @@ def _spawn(mode: str, timeout: int):
         for i in (0, 1)
     ]
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=timeout)
-        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
-        lines = [l for l in out.splitlines() if l.startswith("CHILD_RESULT ")]
-        assert lines, f"no result line:\n{out}\n{err}"
-        results.append(json.loads(lines[-1].removeprefix("CHILD_RESULT ")))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+            lines = [l for l in out.splitlines()
+                     if l.startswith("CHILD_RESULT ")]
+            assert lines, f"no result line:\n{out}\n{err}"
+            results.append(json.loads(lines[-1].removeprefix("CHILD_RESULT ")))
+    finally:
+        # a timed-out/failed child must not leak a jax process holding the
+        # coordinator port into later tests
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return results
 
 

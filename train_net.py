@@ -74,12 +74,18 @@ def main():
             tta_batch=cfg.TEST.BATCH,
             min_batch_num=cfg.TEST.MIN_BATCH_NUM,
             dice_threshold=cfg.TEST.DICE_THRES,
+            draw_dir=cfg.OUTPUT_DIR if cfg.TEST.DRAW else None,
         )
-        out_path = os.path.join(cfg.OUTPUT_DIR, "result_ap.txt")
-        with open(out_path, "a") as f:
-            f.write(json.dumps({"weights": cfg.MODEL.WEIGHTS,
-                                "results": results}) + "\n")
-        print(json.dumps(results, indent=2))
+        # shared-filesystem writes on the main process only (reference gates
+        # via comm.is_main_process; OUTPUT_DIR is shared across hosts)
+        import jax
+
+        if jax.process_index() == 0:
+            out_path = os.path.join(cfg.OUTPUT_DIR, "result_ap.txt")
+            with open(out_path, "a") as f:
+                f.write(json.dumps({"weights": cfg.MODEL.WEIGHTS,
+                                    "results": results}) + "\n")
+            print(json.dumps(results, indent=2))
         return results
 
     from ttdg_mgm_tpu.checkpoint.save import Checkpointer

@@ -16,13 +16,26 @@ import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter
 
 
+def resize_shortest_edge_size(h: int, w: int, short: int, max_size: int):
+    """d2 ResizeShortestEdge target (newh, neww) — EXACT arithmetic of
+    ``detectron2/data/transforms/augmentation_impl.py`` ``get_output_shape``:
+    the short side is pinned to exactly ``short`` (not h*scale re-rounded),
+    and rounding is half-up ``int(x + 0.5)``, not Python banker's round."""
+    scale = short / min(h, w)
+    if h < w:
+        newh, neww = short, scale * w
+    else:
+        newh, neww = scale * h, short
+    if max(newh, neww) > max_size:
+        s2 = max_size / max(newh, neww)
+        newh, neww = newh * s2, neww * s2
+    return int(newh + 0.5), int(neww + 0.5)
+
+
 def resize_shortest_edge(img: np.ndarray, short: int, max_size: int):
     """d2 ResizeShortestEdge (bilinear).  Returns (resized, scale)."""
     h, w = img.shape[:2]
-    scale = short / min(h, w)
-    if max(h, w) * scale > max_size:
-        scale = max_size / max(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh, nw = resize_shortest_edge_size(h, w, short, max_size)
     out = np.asarray(
         Image.fromarray(img).resize((nw, nh), Image.BILINEAR), dtype=img.dtype
     )

@@ -77,7 +77,6 @@ class LossEvalHook:
 
     def _build(self):
         import jax
-        import jax.numpy as jnp
 
         from ttdg_mgm_tpu.data.loader import build_train_loader
 
@@ -99,7 +98,6 @@ class LossEvalHook:
             )
             return sum(losses.values())
 
-        self._jnp = jnp
         self._rng = jax.random.PRNGKey(0)
         self._loss_fn = loss_fn
 
@@ -108,11 +106,15 @@ class LossEvalHook:
             return
         if self._loss_fn is None:
             self._build()
-        jnp = self._jnp
+        from ttdg_mgm_tpu.parallel.mesh import global_like
+
         total = 0.0
+        params = self.trainer.state.params
+        rng = global_like(params, self._rng)
         for batch in self._loader_batches:
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            total += float(self._loss_fn(self.trainer.state.params, dev, self._rng))
+            # multi-process: params are global arrays -> inputs must be too
+            dev = global_like(params, batch)
+            total += float(self._loss_fn(params, dev, rng))
         mean = total / max(len(self._loader_batches), 1)
         self.history.append((it + 1, mean))
         logger.info("validation loss (%s) at iter %d: %.5f",

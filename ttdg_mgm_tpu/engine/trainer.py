@@ -56,13 +56,18 @@ def postprocess_detections(det: dict, meta: dict, b: int, *, mask_threshold=0.5,
     return {"boxes": boxes, "scores": scores, "classes": classes, "masks": masks}
 
 
-def evaluate_dataset(model, params, dataset_name: str, *, canvas: int = 800,
+def evaluate_dataset(model, params, dataset_name: str, *,
+                     canvas: int | str = "auto",
                      min_size: int = 800, max_size: int = 1333,
                      batch_size: int = 1, dice_threshold: float = 0.9,
-                     log_every: int = 50) -> dict:
+                     log_every: int = 50, draw_dir: str | None = None) -> dict:
     """Inference + Dice/E/S over one dataset (reference
     ``inference_on_dataset``, ``trainer.py:1230-1360``, incl. the s/iter
-    breakdown log format parsed by grep)."""
+    breakdown log format parsed by grep).
+
+    ``draw_dir``: when set (the reference's ``TEST.DRAW``), box overlays are
+    written under ``<draw_dir>/visual`` and mask overlays under
+    ``<draw_dir>/masks`` (reference ``trainer.py:1288-1308,1376-1406``)."""
     loader = build_test_loader(dataset_name, batch_size=batch_size,
                                canvas=canvas, min_size=min_size, max_size=max_size)
     evaluator = DiceEvaluator(dataset_name, dice_threshold)
@@ -76,20 +81,30 @@ def evaluate_dataset(model, params, dataset_name: str, *, canvas: int = 800,
         return model.apply({"params": p}, image, sizes,
                            method=model.forward_inference)
 
+    # multi-process: params are global arrays, so inputs must be too
+    # (identical on all processes -> replication is safe)
+    from ttdg_mgm_tpu.parallel.mesh import global_like
+
     n_img = 0
     t_data = t_compute = t_eval = 0.0
     t0 = time.perf_counter()
     for batch, metas in loader:
         t_data += time.perf_counter() - t0
         t1 = time.perf_counter()
-        det = infer(params, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["image_sizes"]))
+        dev = global_like(params, (batch["image"], batch["image_sizes"]))
+        det = infer(params, *dev)
         det = jax.tree.map(np.asarray, det)
         t_compute += time.perf_counter() - t1
         t2 = time.perf_counter()
         for b, meta in enumerate(metas[: metas[0]["n_real"]]):
             out = postprocess_detections(det, meta, b)
             record = records_by_id[meta["image_id"]]
+            if draw_dir is not None:
+                from ttdg_mgm_tpu.data.loader import load_image
+                from ttdg_mgm_tpu.utils.visualize import dump_visualization
+
+                dump_visualization(draw_dir, meta["image_id"],
+                                   load_image(record["file_name"]), out)
             gt_masks = [
                 segmentation_to_mask(a["segmentation"], record["height"],
                                      record["width"])
@@ -139,11 +154,15 @@ class BaselineTrainer:
     def __init__(self, model, tx, params, *, canvas: int = 800,
                  min_size: int = 800, max_size: int = 1333,
                  gt_cap: int = 20, mask_res: int = 256, mesh=None,
-                 train_min_sizes=None):
+                 train_min_sizes=None, test_canvas: int | str = "auto"):
         self.model = model
         self.tx = tx
         self.state = TrainState.create(params, tx)
         self.canvas = canvas
+        # eval-path geometry: "auto" = d2 ResizeShortestEdge(min_size,
+        # max_size) onto rectangular per-batch buckets (reference-faithful);
+        # an int keeps the legacy square fit (tiny-model tests)
+        self.test_canvas = test_canvas
         self.min_size = min_size
         self.max_size = max_size
         # reference INPUT.MIN_SIZE_TRAIN multi-scale "choice" sampling;
@@ -165,8 +184,11 @@ class BaselineTrainer:
 
     def _put_batch(self, batch: dict) -> dict:
         """Host batch -> device: shard the leading axis over the mesh's
-        'data' axis (DDP's per-rank batch split), or plain transfer."""
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        'data' axis (DDP's per-rank batch split), or plain transfer.
+
+        Host arrays go straight to ``shard_batch`` — a ``jnp.asarray``
+        pre-transfer would cost a wasted full-batch H2D+D2H round trip per
+        step in multi-process mode (shard_batch works from host numpy)."""
         if self.mesh is not None:
             from ttdg_mgm_tpu.parallel.mesh import shard_batch
 
@@ -177,8 +199,8 @@ class BaselineTrainer:
                 "(the reference's d2 loader asserts the same for DDP, "
                 "data/build.py:241-255)"
             )
-            batch = shard_batch(self.mesh, batch)
-        return batch
+            return shard_batch(self.mesh, batch)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _put_replicated(self, tree):
         if self.mesh is not None:
@@ -229,7 +251,11 @@ class BaselineTrainer:
         if checkpointer is not None and checkpoint_period > 0:
             hooks.append(PeriodicCheckpointHook(checkpointer, self,
                                                 checkpoint_period))
-        if output_dir is not None:
+        # host-side writers on the main process only: OUTPUT_DIR is shared
+        # across hosts in multi-process runs, and every process writing
+        # metrics.json would clobber it (the reference gates its
+        # PeriodicWriter via comm.is_main_process, trainer.py:390-391)
+        if output_dir is not None and jax.process_index() == 0:
             import os
 
             storage = EventStorage(int(self.state.step))
@@ -265,7 +291,8 @@ class BaselineTrainer:
 
     def test(self, dataset_names, *, ttt: bool = True, tta_batch: int = 4,
              min_batch_num: int | None = None, dice_threshold: float = 0.9,
-             reset_between_datasets: bool = False) -> dict:
+             reset_between_datasets: bool = False,
+             draw_dir: str | None = None) -> dict:
         """Eval-only TTA over the test datasets (reference ``test``,
         ``trainer.py:431-529``)."""
         results = {}
@@ -280,7 +307,7 @@ class BaselineTrainer:
                 state = jax.tree.map(jnp.copy, source_state)
             if ttt:
                 loader = build_test_loader(
-                    name, batch_size=tta_batch, canvas=self.canvas,
+                    name, batch_size=tta_batch, canvas=self.test_canvas,
                     min_size=self.min_size, max_size=self.max_size,
                 )
                 loss = None
@@ -294,10 +321,10 @@ class BaselineTrainer:
                     self.last_tta_loss = float(loss)
                     logger.info("TTA on %s: final loss %.5f", name, float(loss))
             results[name] = evaluate_dataset(
-                self.model, state.params, name, canvas=self.canvas,
+                self.model, state.params, name, canvas=self.test_canvas,
                 min_size=self.min_size, max_size=self.max_size,
                 batch_size=tta_batch if ttt else 1,
-                dice_threshold=dice_threshold,
+                dice_threshold=dice_threshold, draw_dir=draw_dir,
             )
             logger.info("Results %s: %s", name, results[name])
         self.state = state

@@ -62,22 +62,41 @@ def shard_batch(mesh: Mesh, batch):
     Every caller passes the GLOBAL batch (the loaders are seed-deterministic,
     so all processes hold identical host copies — the reference's shared-seed
     d2 sampler with per-rank splitting, ``data/build.py:241-255``).  In a
-    multi-process mesh each process contributes only its contiguous slice of
-    the leading axis; single-process meshes take the plain device_put path.
+    multi-process mesh each process's shards are derived from the SHARDING
+    (``make_array_from_callback`` hands each addressable device its own index
+    into the global host copy), so meshes over device subsets or uneven
+    process->device layouts stay correct; single-process meshes take the
+    plain device_put path.
     """
     s = NamedSharding(mesh, P("data"))
-    nproc = jax.process_count()
-    if nproc > 1:
-        pid = jax.process_index()
+    if jax.process_count() > 1:
 
         def put(x):
             x = np.asarray(x)
-            b = x.shape[0]
-            assert b % nproc == 0, (
-                f"global batch {b} not divisible by process count {nproc}")
-            lb = b // nproc
-            return jax.make_array_from_process_local_data(
-                s, x[pid * lb:(pid + 1) * lb])
+            return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
         return jax.tree.map(put, batch)
     return jax.device_put(batch, s)
+
+
+def global_like(params, tree):
+    """Route host inputs onto the mesh the ``params`` live on, replicated.
+
+    In multi-process runs the train/eval state is a GLOBAL array (its mesh
+    spans devices of every process); jit of ``f(params, plain_jnp_input)``
+    then fails with 'incompatible devices'.  Inputs are identical on all
+    processes (deterministic loaders), so replication is safe.  No-op in
+    single-process mode."""
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.numpy.asarray, tree)
+    leaves = jax.tree.leaves(params)
+    sh = getattr(leaves[0], "sharding", None) if leaves else None
+    if not isinstance(sh, NamedSharding):
+        return jax.tree.map(jax.numpy.asarray, tree)
+    rs = NamedSharding(sh.mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rs, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
