@@ -50,3 +50,36 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:  # older jax without these flags
     pass
+
+
+# ---------------------------------------------------------------------------
+# slow-test opt-in: the default run must fit one CI window (<10 min on this
+# 1-core box; VERDICT r2 weak #6).  Subprocess end-to-end tests (eager CLI,
+# multihost spawns) cost minutes each and protect wiring, not numerics — run
+# them with --runslow or TTDG_RUN_SLOW=1.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-minute subprocess end-to-ends)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute subprocess end-to-end (opt-in: "
+        "--runslow / TTDG_RUN_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("TTDG_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow subprocess end-to-end; opt in with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -41,6 +41,7 @@ def dataset_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 class TestCLI:
     def test_eval_only_tta(self, dataset_root, tmp_path):
         out_dir = tmp_path / "out"

@@ -162,6 +162,7 @@ def _spawn(mode: str, timeout: int):
     return results
 
 
+@pytest.mark.slow
 def test_two_process_ddp_parity():
     r0, r1 = _spawn("fast", timeout=600)
     # SPMD: both processes hold the replicated result — identical values
@@ -186,6 +187,7 @@ def test_two_process_ddp_parity():
 @pytest.mark.skipif(not os.environ.get("TTDG_MULTIHOST_FULL"),
                     reason="minutes of XLA:CPU compile; set "
                            "TTDG_MULTIHOST_FULL=1 to run")
+@pytest.mark.slow
 def test_two_process_full_source_step():
     r0, r1 = _spawn("full", timeout=1800)
     for k, v in r0["metrics"].items():

@@ -52,7 +52,8 @@ class ATeacherTrainer(BaselineTrainer):
         self.ema_keep_rate = ema_keep_rate
         self.teacher_update_iter = teacher_update_iter
         self.burn_up_step = burn_up_step
-        self._burnin_step = make_source_step(model, tx, loss_weight=0.1)
+        self._burnin_step = make_source_step(model, tx, loss_weight=0.1,
+                                             mesh=self.mesh)
         self.cross_domain = cross_domain
         # EMA class centers for the cross-domain head (functional state,
         # the reference GModule's "graph-guided memory bank")
@@ -62,7 +63,7 @@ class ATeacherTrainer(BaselineTrainer):
         self._mt_step = make_mt_step(
             model, tx, unsup_weight=unsup_weight, dis_weight=dis_weight,
             pseudo_threshold=pseudo_threshold, gt_cap=self.gt_cap,
-            with_cross_domain=cross_domain,
+            with_cross_domain=cross_domain, mesh=self.mesh,
         )
 
     def train_semisup(self, label_names, unlabel_names, *, max_iter: int,

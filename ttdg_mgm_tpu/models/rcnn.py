@@ -214,8 +214,14 @@ class MaskRCNN(nn.Module):
             # gather formulation is row-transaction-bound; see
             # ops/pallas/roi_pool_pallas.py).  Gradient-free by design —
             # these call sites feed stop_gradient-ed detections only.
+            # interpret mode when the gate is forced on off-TPU (the
+            # mesh-safety tests run the production kernel path on the
+            # 8-device CPU mesh with TTDG_WINDOWED_POOL=1).
+            from ttdg_mgm_tpu.utils.platform import is_tpu_backend
+
             return multilevel_roi_align_windowed(
-                pool_feats, boxes, output_size=output_size
+                pool_feats, boxes, output_size=output_size,
+                interpret=not is_tpu_backend(),
             )
         if pack and use_windowed_train_pool():
             # opt-in differentiable windowed pooler for training pools
