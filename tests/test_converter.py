@@ -245,3 +245,48 @@ class TestFullConversion:
         student = convert_d2_state_dict(ens, member="modelStudent")
         assert np.abs(teacher["U"]).max() > 0
         assert np.abs(student["U"]).max() == 0
+
+
+class TestInverseConversion:
+    """``flax_to_d2_state_dict`` (export back to the reference layout) must
+    round-trip exactly through ``convert_d2_state_dict``."""
+
+    def test_roundtrip_exact(self):
+        from ttdg_mgm_tpu.checkpoint.converter import flax_to_d2_state_dict
+
+        sd = synth_state_dict()
+        params = convert_d2_state_dict(sd)
+        back = flax_to_d2_state_dict(params)
+        again = convert_d2_state_dict(back)
+
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(again)[0])
+        assert len(flat_a) == len(flat_b)
+        for path, va in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(flat_b[path]), rtol=1e-6, atol=1e-7,
+                err_msg=str(path))
+
+    def test_torch_twin_consumes_export(self):
+        """The exported dict must feed the torch twin byte-for-byte: same
+        keys the twin's _SD view reads for the layers it executes."""
+        from ttdg_mgm_tpu.checkpoint.converter import flax_to_d2_state_dict
+
+        sd = synth_state_dict()
+        params = convert_d2_state_dict(sd)
+        back = flax_to_d2_state_dict(params)
+        for k in ("backbone.bottom_up.stem.conv1.weight",
+                  "backbone.fpn_lateral2.weight",
+                  "proposal_generator.rpn_head.conv.weight",
+                  "roi_heads.box_head.fc1.weight",
+                  "roi_heads.mask_head.deconv.weight",
+                  "multi_matching_unsup.node_affinity.fc_M.0.weight"):
+            assert k in back, k
+            assert back[k].shape == np.asarray(sd[k]).shape, k
+        # conv weights identical to the original d2 tensors
+        np.testing.assert_allclose(
+            back["roi_heads.mask_head.deconv.weight"],
+            sd["roi_heads.mask_head.deconv.weight"], rtol=1e-6)
+        np.testing.assert_allclose(
+            back["roi_heads.box_head.fc1.weight"],
+            sd["roi_heads.box_head.fc1.weight"], rtol=1e-6)

@@ -237,6 +237,130 @@ def convert_d2_state_dict(sd: dict, *, num_classes: int = 2,
     return p
 
 
+def _inv_conv(k):
+    return np.transpose(k, (3, 2, 0, 1))
+
+
+def _inv_dense(k):
+    return np.transpose(k, (1, 0))
+
+
+def _inv_deconv(k):
+    # forward: torch (I, O, kh, kw) -> transpose(2,3,0,1) -> spatial flip
+    return np.transpose(np.asarray(k)[::-1, ::-1], (2, 3, 0, 1)).copy()
+
+
+def _inv_bn(blk, prefix, out):
+    """Emit a FrozenBatchNorm quadruple that ``_fold_bn`` round-trips exactly:
+    mean=0 and var=1-eps make ``w / sqrt(var + eps) == w``."""
+    scale = np.asarray(blk["scale"])
+    out[prefix + ".weight"] = scale
+    out[prefix + ".bias"] = np.asarray(blk["bias"])
+    out[prefix + ".running_mean"] = np.zeros_like(scale)
+    out[prefix + ".running_var"] = np.full_like(scale, 1.0 - BN_EPS)
+
+
+def _inv_conv_block(blk, prefix, out):
+    out[prefix + ".weight"] = _inv_conv(blk["kernel"])
+    if "bias" in blk:
+        out[prefix + ".bias"] = np.asarray(blk["bias"])
+
+
+def _inv_dense_block(blk, prefix, out):
+    out[prefix + ".weight"] = _inv_dense(blk["kernel"])
+    if "bias" in blk:
+        out[prefix + ".bias"] = np.asarray(blk["bias"])
+
+
+def _inv_mha_block(blk, prefix, out):
+    for n in ("linear_q", "linear_k", "linear_v", "linear_final"):
+        _inv_dense_block(blk[n], f"{prefix}.{n}", out)
+    out[prefix + ".layer_norm.weight"] = np.asarray(blk["layer_norm"]["scale"])
+    out[prefix + ".layer_norm.bias"] = np.asarray(blk["layer_norm"]["bias"])
+
+
+def flax_to_d2_state_dict(params: dict, *, box_head_channels: int = 256) -> dict:
+    """Inverse of ``convert_d2_state_dict``: export the ``MaskRCNN`` Flax param
+    tree as a d2/reference-named numpy state_dict (the layout
+    ``DetectionTSCheckpointer`` consumes, reference
+    ``detection_checkpoint.py:10-93``).  Round-trips exactly through
+    ``convert_d2_state_dict``; lets users move checkpoints back to the
+    reference stack and powers the same-weights torch-twin comparisons."""
+    p = {k: v for k, v in params.items()}
+    sd: dict = {}
+
+    if "backbone" in p:
+        bb = p["backbone"]
+        bu = "backbone.bottom_up."
+        _inv_conv_block(bb["stem_conv1"], bu + "stem.conv1", sd)
+        _inv_bn(bb["stem_conv1_norm"], bu + "stem.conv1.norm", sd)
+        for name, blk in bb.items():
+            if not name.startswith("res"):
+                continue
+            stage, i = name.rsplit("_", 1)
+            pre = f"{bu}{stage}.{i}."
+            for c in ("conv1", "conv2", "conv3", "shortcut"):
+                if c in blk:
+                    _inv_conv_block(blk[c], pre + c, sd)
+                    _inv_bn(blk[c + "_norm"], pre + c + ".norm", sd)
+
+    if "fpn" in p:
+        for i in range(2, 6):
+            if f"lateral{i}" in p["fpn"]:
+                _inv_conv_block(p["fpn"][f"lateral{i}"],
+                                f"backbone.fpn_lateral{i}", sd)
+                _inv_conv_block(p["fpn"][f"output{i}"],
+                                f"backbone.fpn_output{i}", sd)
+
+    if "rpn_head" in p:
+        rh = "proposal_generator.rpn_head."
+        for n in ("conv", "objectness_logits", "anchor_deltas"):
+            _inv_conv_block(p["rpn_head"][n], rh + n, sd)
+
+    if "box_head" in p:
+        C = box_head_channels
+        w1 = _inv_dense(p["box_head"]["fc1"]["kernel"])  # (1024, 7*7*C) NHWC
+        w1 = w1.reshape(-1, 7, 7, C).transpose(0, 3, 1, 2).reshape(w1.shape[0], -1)
+        sd["roi_heads.box_head.fc1.weight"] = w1
+        sd["roi_heads.box_head.fc1.bias"] = np.asarray(p["box_head"]["fc1"]["bias"])
+        _inv_dense_block(p["box_head"]["fc2"], "roi_heads.box_head.fc2", sd)
+        _inv_dense_block(p["box_predictor"]["cls_score"],
+                         "roi_heads.box_predictor.cls_score", sd)
+        _inv_dense_block(p["box_predictor"]["bbox_pred"],
+                         "roi_heads.box_predictor.bbox_pred", sd)
+
+    if "mask_head" in p:
+        mh = "roi_heads.mask_head."
+        for i in range(1, 5):
+            _inv_conv_block(p["mask_head"][f"mask_fcn{i}"], mh + f"mask_fcn{i}", sd)
+        sd[mh + "deconv.weight"] = _inv_deconv(p["mask_head"]["deconv"]["kernel"])
+        sd[mh + "deconv.bias"] = np.asarray(p["mask_head"]["deconv"]["bias"])
+        _inv_conv_block(p["mask_head"]["predictor"], mh + "predictor", sd)
+
+    if "D_img" in p:
+        for n in ("conv1", "conv2", "classifier"):
+            _inv_conv_block(p["D_img"][n], "D_img." + n, sd)
+
+    if "U" in p:
+        sd["multi_matching_sup.U"] = np.asarray(p["U"])
+        _inv_mha_block(p["multi_matching_sup"]["Net_U"]["g_gene"],
+                       "multi_matching_sup.Net_U.g_gene", sd)
+    if "multi_matching_unsup" in p:
+        _inv_mha_block(p["multi_matching_unsup"]["intra_domain_graph"],
+                       "multi_matching_unsup.intra_domain_graph", sd)
+        aff = p["multi_matching_unsup"]["node_affinity"]
+        pre = "multi_matching_unsup.node_affinity"
+        sd[pre + ".project_sr.weight"] = _inv_dense(aff["project_sr"]["kernel"])
+        sd[pre + ".project_tg.weight"] = _inv_dense(aff["project_tg"]["kernel"])
+        w0 = np.concatenate([_inv_dense(aff["fc0_x"]["kernel"]),
+                             _inv_dense(aff["fc0_y"]["kernel"])], axis=1)
+        sd[pre + ".fc_M.0.weight"] = w0
+        sd[pre + ".fc_M.0.bias"] = np.asarray(aff["fc0_x"]["bias"])
+        _inv_dense_block(aff["fc1"], pre + ".fc_M.2", sd)
+
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
 # torchvision vgg16_bn ``features`` indices of the 13 convs (BN follows at +1)
 _VGG16BN_CONV_IDX = [0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
 
