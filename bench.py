@@ -70,7 +70,7 @@ def warm_params(model, params, np, jnp, jax):
 
     sig = hashlib.sha1(
         str(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)).encode()
-        + f"v3:{WARM_STEPS}x{WARM_SIZE}".encode()
+        + f"v4:{WARM_STEPS}x{WARM_SIZE}".encode()  # v4: 2.5e-3 + grad clip
     ).hexdigest()[:16]
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"warm_{sig}.msgpack")
@@ -81,13 +81,20 @@ def warm_params(model, params, np, jnp, jax):
     from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step
     from ttdg_mgm_tpu.solver.build import build_optimizer, warmup_multistep_schedule
 
-    # LR 1e-3 with a 40-iter warmup: 2.5e-3 diverged to NaN around iter ~60
-    # in bf16 (and float(nan) does NOT raise, so the old end-of-run sync
-    # never caught it); the periodic finite check below makes any future
-    # divergence loud instead of silently caching a NaN detector.
+    # Reference BASE_LR 2.5e-3 (seg_res50fpn_source.yaml SOLVER).  This
+    # warmup trains FROM SCRATCH — a regime the reference never runs (it
+    # always starts from ImageNet R-50): random FrozenBN stacks produce
+    # exploding activations (loss_cls ~13 at init vs ~0.6 pretrained) and
+    # diverge by iter ~10 at any useful LR.  d2's own remedy for unstable
+    # gradients, SOLVER.CLIP_GRADIENTS (value, 1.0), keeps the from-scratch
+    # run finite at the full reference LR — no LR reduction needed.  The
+    # periodic finite check below makes any future divergence loud instead
+    # of silently caching a NaN detector.
     wtx = build_optimizer(
-        params, warmup_multistep_schedule(1e-3, (100000,), warmup_iters=40,
-                                          warmup_factor=0.05)
+        params, warmup_multistep_schedule(2.5e-3, (100000,), warmup_iters=40,
+                                          warmup_factor=0.05),
+        clip_gradients={"ENABLED": True, "CLIP_TYPE": "value",
+                        "CLIP_VALUE": 1.0},
     )
     state = TrainState.create(jax.tree.map(jnp.copy, params), wtx)
     step = make_source_step(model, wtx)

@@ -51,3 +51,40 @@ class TestBF16Policy:
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
             assert jnp.asarray(v).dtype == jnp.float32, k
+
+    def test_from_scratch_training_stable_at_reference_lr(self):
+        """From-scratch FrozenBN training at the reference BASE_LR 2.5e-3
+        (``seg_res50fpn_source.yaml`` SOLVER) diverged in bf16 before
+        gradient clipping existed (bench.py's old LR-1e-3 workaround).  With
+        d2 ``SOLVER.CLIP_GRADIENTS`` (value, 1.0) the same run must stay
+        finite — the production bench-warmup configuration."""
+        from bench import synth_batch
+        from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step
+        from ttdg_mgm_tpu.solver.build import (build_optimizer,
+                                               warmup_multistep_schedule)
+
+        model = tiny("bfloat16")
+        b0 = {k: jnp.asarray(v)
+              for k, v in synth_batch(np, 64, 2, seed=0, mask_res=32).items()}
+        params = model.init(
+            jax.random.PRNGKey(0), b0["image"], b0["image_sizes"],
+            b0["gt_boxes"], b0["gt_classes"], b0["gt_masks"], b0["gt_valid"],
+            jax.random.PRNGKey(1), method=model.loss_supervised)["params"]
+        tx = build_optimizer(
+            params,
+            warmup_multistep_schedule(2.5e-3, (100000,), warmup_iters=4,
+                                      warmup_factor=0.05),
+            clip_gradients={"ENABLED": True, "CLIP_TYPE": "value",
+                            "CLIP_VALUE": 1.0})
+        state = TrainState.create(params, tx)
+        step = make_source_step(model, tx)
+        rng = jax.random.PRNGKey(0)
+        for it in range(12):
+            batch = {k: jnp.asarray(v)
+                     for k, v in synth_batch(np, 64, 2, seed=it,
+                                             mask_res=32).items()}
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            lv = float(metrics["total_loss"])
+            assert np.isfinite(lv), (it, {k: float(v)
+                                          for k, v in metrics.items()})

@@ -152,6 +152,7 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
         params, build_schedule(cfg), momentum=cfg.SOLVER.MOMENTUM,
         weight_decay=cfg.SOLVER.WEIGHT_DECAY,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        clip_gradients=dict(cfg.SOLVER.CLIP_GRADIENTS),
     )
     train_sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
     common = dict(

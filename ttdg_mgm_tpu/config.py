@@ -342,7 +342,13 @@ def get_cfg() -> CfgNode:
     c.SOLVER.WARMUP_ITERS = 1000
     c.SOLVER.WARMUP_METHOD = "linear"
     c.SOLVER.CHECKPOINT_PERIOD = 5000
-    c.SOLVER.CLIP_GRADIENTS = CfgNode({"ENABLED": False, "CLIP_VALUE": 1.0})
+    # d2 gradient clipping (CLIP_TYPE "value" clips per-element, "norm" clips
+    # the global norm); from-scratch FrozenBN training needs it at the
+    # reference BASE_LR (ImageNet-init runs don't)
+    c.SOLVER.CLIP_GRADIENTS = CfgNode({
+        "ENABLED": False, "CLIP_TYPE": "value", "CLIP_VALUE": 1.0,
+        "NORM_TYPE": 2.0,
+    })
     c.SOLVER.AMP = CfgNode({"ENABLED": False})  # on TPU -> bf16 compute policy
     c.SOLVER.BIAS_LR_FACTOR = 1.0
     c.SOLVER.WEIGHT_DECAY_BIAS = 0.0001

@@ -29,10 +29,11 @@ import jax.numpy as jnp
 
 class FrozenBatchNorm(nn.Module):
     features: int
+    scale_init: nn.initializers.Initializer = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        scale = self.param("scale", self.scale_init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return x * scale + bias
 
@@ -42,6 +43,16 @@ class BottleneckBlock(nn.Module):
     out_channels: int
     stride: int = 1
     has_shortcut: bool = False
+    # Damp the residual branch's final norm scale at init (torch
+    # ``zero_init_residual``'s intent, adapted to FrozenBN): from-scratch
+    # FrozenBN stacks otherwise explode activations with depth (loss_cls ~13
+    # at init, NaN by iter ~10 at the reference BASE_LR 2.5e-3).  A literal
+    # zero would kill the branch FOREVER — FrozenBN affines never receive
+    # gradients (solver.trainable_mask) — so a small frozen constant damps
+    # the init variance while leaving conv-weight gradients alive.
+    # Init-time only: checkpoint loads (ImageNet / reference .pth) overwrite
+    # it, so d2 parity is unaffected.
+    residual_scale_init: float = 0.1
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +69,10 @@ class BottleneckBlock(nn.Module):
         out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
         out = nn.relu(out)
         out = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv3")(out)
-        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
+        out = FrozenBatchNorm(
+            self.out_channels, name="conv3_norm",
+            scale_init=nn.initializers.constant(self.residual_scale_init),
+        )(out)
 
         if self.has_shortcut:
             sc = nn.Conv(

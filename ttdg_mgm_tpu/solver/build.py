@@ -95,9 +95,18 @@ def trainable_mask(params, *, freeze_at: int = 2):
 
 def build_optimizer(params, schedule, *, momentum: float = 0.9,
                     weight_decay: float = 1e-4, freeze_at: int = 2,
-                    nesterov: bool = False):
+                    nesterov: bool = False, clip_gradients: dict | None = None):
     """SGD + momentum with decoupled-into-gradient weight decay (torch
     semantics: wd added to the gradient before the momentum update).
+
+    ``clip_gradients``: d2 ``SOLVER.CLIP_GRADIENTS`` (reference d2
+    ``build_optimizer`` gradient-clipping wrapper): when ``ENABLED``,
+    ``CLIP_TYPE`` "value" clips each gradient element to ±``CLIP_VALUE``
+    (torch ``clip_grad_value_``), "norm" clips the global norm to
+    ``CLIP_VALUE`` (torch ``clip_grad_norm_``, ``NORM_TYPE`` 2 only — the
+    L2 global norm is the only one that maps to a single XLA reduction).
+    Clipping applies to the raw gradients, before weight decay and momentum,
+    matching the torch call order (clip after backward, wd inside the step).
 
     Frozen leaves get ``set_to_zero`` updates via ``multi_transform`` — NOT
     ``optax.masked``, whose masked-out leaves pass their raw gradients
@@ -106,7 +115,18 @@ def build_optimizer(params, schedule, *, momentum: float = 0.9,
     """
     mask = trainable_mask(params, freeze_at=freeze_at)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    links = []
+    if clip_gradients and clip_gradients.get("ENABLED"):
+        ctype = clip_gradients.get("CLIP_TYPE", "value")
+        cval = float(clip_gradients.get("CLIP_VALUE", 1.0))
+        if ctype == "norm":
+            assert float(clip_gradients.get("NORM_TYPE", 2.0)) == 2.0, \
+                "only the L2 global norm is supported"
+            links.append(optax.clip_by_global_norm(cval))
+        else:
+            links.append(optax.clip(cval))
     tx = optax.chain(
+        *links,
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=nesterov),
     )
