@@ -70,7 +70,7 @@ def warm_params(model, params, np, jnp, jax):
 
     sig = hashlib.sha1(
         str(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)).encode()
-        + f"v4:{WARM_STEPS}x{WARM_SIZE}".encode()  # v4: 2.5e-3 + grad clip
+        + f"v6:{WARM_STEPS}x{WARM_SIZE}".encode()  # v6: 2.5e-3 + NORM clip + damped residual init
     ).hexdigest()[:16]
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"warm_{sig}.msgpack")
@@ -86,14 +86,18 @@ def warm_params(model, params, np, jnp, jax):
     # always starts from ImageNet R-50): random FrozenBN stacks produce
     # exploding activations (loss_cls ~13 at init vs ~0.6 pretrained) and
     # diverge by iter ~10 at any useful LR.  d2's own remedy for unstable
-    # gradients, SOLVER.CLIP_GRADIENTS (value, 1.0), keeps the from-scratch
-    # run finite at the full reference LR — no LR reduction needed.  The
-    # periodic finite check below makes any future divergence loud instead
-    # of silently caching a NaN detector.
+    # gradients is SOLVER.CLIP_GRADIENTS; of its two CLIP_TYPEs only the
+    # GLOBAL-NORM clip (norm, 1.0) converges here — per-element value clip
+    # stays finite but explodes (every element saturates to ±CLIP_VALUE, so
+    # the update direction degenerates to sign(grad) with norm ~sqrt(Nparams)
+    # · lr; measured: loss_cls 3.7e6 by iter 114, scripts/diag_warmup.py).
+    # Norm clip at the full reference LR: total_loss 0.58 by iter 120, all
+    # components stable.  The periodic finite check below makes any future
+    # divergence loud instead of silently caching a NaN detector.
     wtx = build_optimizer(
         params, warmup_multistep_schedule(2.5e-3, (100000,), warmup_iters=40,
                                           warmup_factor=0.05),
-        clip_gradients={"ENABLED": True, "CLIP_TYPE": "value",
+        clip_gradients={"ENABLED": True, "CLIP_TYPE": "norm",
                         "CLIP_VALUE": 1.0},
     )
     state = TrainState.create(jax.tree.map(jnp.copy, params), wtx)
