@@ -76,9 +76,13 @@ def main():
     if warm:
         import flax.serialization as fser
 
-        with open(os.path.join(cache_dir, sorted(warm)[-1]), "rb") as f:
+        # newest by mtime: key-version bumps in bench.py leave stale (possibly
+        # diverged) caches behind whose names sort arbitrarily
+        newest = max(warm, key=lambda f: os.path.getmtime(
+            os.path.join(cache_dir, f)))
+        with open(os.path.join(cache_dir, newest), "rb") as f:
             params = fser.from_bytes(params, f.read())
-        print(f"warmed weights: {sorted(warm)[-1]}")
+        print(f"warmed weights: {newest}")
     else:
         print("warmed weights: NONE (random init; matching may be inactive)")
 

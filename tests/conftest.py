@@ -25,6 +25,16 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     flags += (" --xla_cpu_enable_concurrency_optimized_scheduler=false"
               " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+if "xla_cpu_max_isa" not in flags:
+    # Cap codegen at AVX2: on AVX-512 hosts XLA:CPU compiles with the
+    # pseudo-features +prefer-no-gather/+prefer-no-scatter, which the AOT
+    # loader then fails to find in the *host* feature list, so every big
+    # cached executable is rejected on reload ("cpu_aot_loader ... machine
+    # feature not found") and silently recompiled.  AVX2 codegen uses no
+    # pseudo-features, making the persistent compilation cache actually
+    # round-trip; the small SIMD downgrade is irrelevant for tests, which
+    # are compile-dominated on this 1-core box.
+    flags += " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
@@ -37,10 +47,10 @@ jax.config.update("jax_default_matmul_precision", "float32")
 
 # Persistent compilation cache: the 1-core host spends most of the suite's
 # wall clock re-compiling identical XLA programs across pytest processes.
+# Requires the AVX2 ISA cap above — without it every sizeable executable
+# fails its serialization round-trip and the cache never hits.
 # (An earlier SIGABRT was mis-attributed to this cache; the real cause was
-# the collective-scheduler deadlock fixed by the XLA_FLAGS above, and the
-# cpu_aot_loader "+prefer-no-gather machine feature" load errors are benign
-# noise that appears with or without a cache.)
+# the collective-scheduler deadlock fixed by the XLA_FLAGS above.)
 try:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/ttdg_jax_cache_cputest"))

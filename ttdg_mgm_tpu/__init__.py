@@ -54,9 +54,15 @@ if not _os.environ.get("TTDG_NO_COMPILATION_CACHE"):
     try:
         import jax as _jax
 
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Respect a cache the embedding process already configured (the test
+        # conftest points at its own dir with min_compile_time=0.0 because
+        # XLA:CPU under-reports compile times; clobbering that setting here
+        # silently disabled caching for the whole suite).
+        if _jax.config.jax_compilation_cache_dir is None:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 del _os
