@@ -42,6 +42,85 @@ class TestSinkhornPallas:
                                    quad_weight=0.5, interpret=True))
         np.testing.assert_allclose(r, f, atol=1e-5)
 
+    def test_gagm_fused_exact_lap_finale_structured(self):
+        """The in-kernel exact-LAP finale (production path since round 4)
+        == the pure-XLA ga_gm with its JV-LAP terminal round, on a
+        well-separated problem — forward orientation (nodes < universe)."""
+        rng = np.random.RandomState(0)
+        G, n, univ = 3, 5, 8
+        perms = [rng.permutation(n) for _ in range(G)]
+        Ugt = np.zeros((G, n, univ))
+        for g in range(G):
+            for i in range(n):
+                Ugt[g, i, perms[g][i]] = 1
+        T = G * n
+        W = np.zeros((T, T), np.float32)
+        for i in range(G):
+            for j in range(G):
+                W[i*n:(i+1)*n, j*n:(j+1)*n] = Ugt[i] @ Ugt[j].T + 0.05 * rng.rand(n, n)
+        ms = jnp.full((G,), n, jnp.int32)
+        A = jnp.zeros((T, T), jnp.float32)
+        U0 = jnp.asarray(Ugt.reshape(T, univ) + 0.3 * rng.rand(T, univ))
+        r = np.asarray(ga_gm(A, jnp.asarray(W), U0, ms, univ, quad_weight=0.5))
+        f = np.asarray(ga_gm_fused(A, jnp.asarray(W), U0, ms, univ,
+                                   quad_weight=0.5, interpret=True,
+                                   final_hungarian=False,
+                                   exact_lap_finale=True))
+        np.testing.assert_allclose(r, f, atol=1e-5)
+        np.testing.assert_allclose(f, Ugt.reshape(T, univ), atol=1e-5)
+
+    def test_gagm_fused_exact_lap_finale_transposed(self):
+        """Same, transposed orientation (nodes > universe slots, the
+        flagship TTA shape) with ragged ms: the kernel's dummy-column
+        rectangular LAP must agree with the XLA JV's transposed solve."""
+        rng = np.random.RandomState(2)
+        G, n, univ = 3, 10, 8
+        perms = [rng.permutation(univ) for _ in range(G)]
+        # 8 planted rows per graph; rows 8..9 carry weak noise only
+        Ugt = np.zeros((G, n, univ))
+        for g in range(G):
+            for i in range(univ):
+                Ugt[g, i, perms[g][i]] = 1
+        T = G * n
+        W = np.zeros((T, T), np.float32)
+        for i in range(G):
+            for j in range(G):
+                W[i*n:(i+1)*n, j*n:(j+1)*n] = Ugt[i] @ Ugt[j].T + 0.02 * rng.rand(n, n)
+        ms = jnp.asarray([n, n - 1, n], jnp.int32)
+        A = jnp.zeros((T, T), jnp.float32)
+        U0 = jnp.asarray(Ugt.reshape(T, univ) + 0.2 * rng.rand(T, univ))
+        r = np.asarray(ga_gm(A, jnp.asarray(W), U0, ms, univ, quad_weight=0.5))
+        f = np.asarray(ga_gm_fused(A, jnp.asarray(W), U0, ms, univ,
+                                   quad_weight=0.5, interpret=True,
+                                   final_hungarian=False,
+                                   exact_lap_finale=True))
+        np.testing.assert_allclose(r, f, atol=1e-5)
+
+    def test_gagm_fused_lap_finale_one_iteration_same_input(self):
+        """ONE finale iteration from an identical continuous state: the
+        in-kernel power step + JV-LAP == the XLA final_hungarian_round.
+        Isolates the finale from annealed-round numeric drift."""
+        from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
+
+        rng = np.random.RandomState(3)
+        G, n, univ = 4, 12, 6
+        T = G * n
+        W = jnp.asarray(rng.rand(T, T).astype(np.float32))
+        A = jnp.asarray(rng.rand(T, T).astype(np.float32) * 0.1)
+        U0 = jnp.asarray(rng.rand(T, univ).astype(np.float32))
+        ms = jnp.asarray([n - (g % 2) for g in range(G)], jnp.int32)
+        kw = dict(quad_weight=0.5, mgm_iter=1, sk_tau0=0.1, sk_gamma=0.5,
+                  min_tau=0.2)
+        f_cont = ga_gm_fused(A, W, U0, ms, univ, interpret=True,
+                             final_hungarian=False, **kw)
+        f_lap = ga_gm_fused(A, W, U0, ms, univ, interpret=True,
+                            final_hungarian=False, exact_lap_finale=True,
+                            lap_iter_cap=1, **kw)
+        r_lap = final_hungarian_round(A, W, f_cont, ms, univ,
+                                      quad_weight=0.5, mgm_iter=1)
+        np.testing.assert_allclose(np.asarray(r_lap), np.asarray(f_lap),
+                                   atol=1e-6)
+
     def test_gagm_fused_continuous_exact(self):
         """Single continuous (pre-discretization) iteration is bit-exact,
         including the transposed (nodes > universe) orientation and ragged

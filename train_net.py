@@ -67,6 +67,8 @@ def main():
 
     trainer = build_trainer(cfg)
 
+    import jax
+
     if args.eval_only:
         results = trainer.test(
             cfg.DATASETS.TEST,
@@ -74,11 +76,14 @@ def main():
             tta_batch=cfg.TEST.BATCH,
             min_batch_num=cfg.TEST.MIN_BATCH_NUM,
             dice_threshold=cfg.TEST.DICE_THRES,
-            draw_dir=cfg.OUTPUT_DIR if cfg.TEST.DRAW else None,
+            # visualization PNGs land on the shared OUTPUT_DIR — rank 0 only,
+            # or multi-host runs write torn/clobbered files (same gating as
+            # result_ap.txt below; reference comm.is_main_process)
+            draw_dir=(cfg.OUTPUT_DIR
+                      if cfg.TEST.DRAW and jax.process_index() == 0 else None),
         )
         # shared-filesystem writes on the main process only (reference gates
         # via comm.is_main_process; OUTPUT_DIR is shared across hosts)
-        import jax
 
         if jax.process_index() == 0:
             out_path = os.path.join(cfg.OUTPUT_DIR, "result_ap.txt")

@@ -54,6 +54,7 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         sk_tau=cfg.MODEL.GRAPH.SK_TAU,
         hippi_iters=cfg.MODEL.GRAPH.HIPPI_ITERS,
         gagm_iters=cfg.MODEL.GRAPH.GAGM_ITERS,
+        lap_polish_iters=cfg.MODEL.GRAPH.LAP_POLISH_ITERS,
         compute_dtype=(
             "bfloat16" if (cfg.SOLVER.AMP.ENABLED or cfg.TPU.PRECISION == "bfloat16")
             else "float32"

@@ -290,6 +290,10 @@ def get_cfg() -> CfgNode:
     c.MODEL.GRAPH.GAGM_SK_GAMMA = 0.5
     c.MODEL.GRAPH.GAGM_MIN_TAU = 1.0e-2
     c.MODEL.GRAPH.GAGM_CONVERGE_TOL = 1.0e-3
+    # iteration cap of the exact-LAP Hungarian finale inside the fused GA-GM
+    # kernel; the default reproduces the reference's full 200-iteration
+    # hungarian-projector round (multi_graph_matching.py:374-387)
+    c.MODEL.GRAPH.LAP_POLISH_ITERS = 200
     c.MODEL.GRAPH.CLUSTER_ITERS = 10
     c.MODEL.GRAPH.QUAD_WEIGHT = 0.5
     c.MODEL.GRAPH.CLUSTER_QUAD_WEIGHT = 1.0

@@ -28,13 +28,15 @@ def load_coco_json(json_file: str, image_root: str):
     for img in coco["images"]:
         anns = []
         for ann in anns_by_img.get(img["id"], []):
-            if ann.get("iscrowd", 0):
-                continue
             x, y, w, h = ann["bbox"]
+            # crowd annotations stay in the record (pycocotools/d2 keep them
+            # as IGNORE regions during eval — COCOEvaluator.process gt_crowd);
+            # the training path excludes them (data/loader.prepare_sample)
             anns.append({
                 "bbox": [x, y, x + w, y + h],
                 "category_id": id_map.get(ann["category_id"], ann["category_id"]),
                 "segmentation": ann.get("segmentation"),
+                "iscrowd": ann.get("iscrowd", 0),
             })
         records.append({
             "file_name": os.path.join(image_root, img["file_name"]),

@@ -95,12 +95,13 @@ def prepare_sample(record: dict, *, canvas: int | None = 800,
     ``build_test_loader``).  An integer ``canvas`` additionally downscales
     any image whose long side exceeds it (the static-square train canvas)."""
     img = image if image is not None else load_image(record["file_name"])
-    boxes = np.asarray([a["bbox"] for a in record["annotations"]], np.float32)
+    # crowd annotations are eval-only IGNORE regions (d2/pycocotools); they
+    # never become training GT (reference dataset_mapper filters iscrowd)
+    anns = [a for a in record["annotations"] if not a.get("iscrowd", 0)]
+    boxes = np.asarray([a["bbox"] for a in anns], np.float32)
     boxes = boxes.reshape(-1, 4)
-    classes = np.asarray(
-        [a["category_id"] for a in record["annotations"]], np.int32
-    )
-    polys = [a.get("segmentation") for a in record["annotations"]]
+    classes = np.asarray([a["category_id"] for a in anns], np.int32)
+    polys = [a.get("segmentation") for a in anns]
 
     img, (sy, sx) = resize_shortest_edge(img, min_size, max_size)
     boxes, polys = scale_annotations(boxes, polys, sy, sx)

@@ -53,13 +53,14 @@ class MGM3Unsup(nn.Module):
     mgm_iter: int = 200
     num_clusters: int = 1  # >1 enables the MGM-Mixture clustering outer step
     use_fused_gagm: bool | None = None  # None = auto (fused Pallas on TPU)
-    # exact-LAP polish budget after the in-kernel mutual-argmax finale (the
-    # fused path): iterations of the reference's hungarian-projector round,
-    # run OUTSIDE the kernel with the exact JV-LAP.  Real TTA problems either
-    # agree with the mutual-argmax fixpoint immediately (2 iterations: one
-    # step + the convergence check) or are chaotic, where the reference's own
-    # 200-cut is an arbitrary orbit point; see scripts/measure_finale.py.
-    lap_polish_iters: int = 8
+    # iteration cap of the terminal exact-LAP Hungarian round (the
+    # reference's 200-iteration hungarian-projector finale,
+    # multi_graph_matching.py:374-387).  Since round 4 the finale runs
+    # INSIDE the fused VMEM kernel (in-kernel Jonker-Volgenant LAP,
+    # ops/pallas/gagm_pallas.py), so the reference's full budget costs ~2 ms
+    # instead of ~2.7 ms/iteration through XLA while_loops — the default is
+    # reference-faithful.  cfg key: MODEL.GRAPH.LAP_POLISH_ITERS.
+    lap_polish_iters: int = 200
 
     def setup(self):
         self.intra_domain_graph = MultiHeadAttention(self.dim, 1, dropout=0.1)
@@ -153,31 +154,21 @@ class MGM3Unsup(nn.Module):
                 min_tau=1e-2, tol=1e-3,
             )
             if fused:
-                from ttdg_mgm_tpu.graph.solvers import final_hungarian_round
                 from ttdg_mgm_tpu.ops.pallas.gagm_pallas import ga_gm_fused
 
                 # The VMEM kernel runs the annealed Sinkhorn rounds AND the
-                # hard-projection finale with mutual-argmax (~2 ms); the
-                # exact on-device JV-LAP then POLISHES the fixpoint with a
-                # short bounded hungarian-projector round outside the kernel.
-                # On well-determined problems the exact iteration confirms
-                # the kernel's fixpoint in 2 iterations (LAP == mutual
-                # argmax when unambiguous); the reference's full-length
-                # round (its 200-iteration scipy-Hungarian loop,
-                # multi_graph_matching.py:374-387) differs only on chaotic
-                # problems where its own 200-cut is an arbitrary orbit
-                # point — deviation quantified in scripts/measure_finale.py
-                # and bounded by the loss-level parity tests.
-                U_c = ga_gm_fused(
+                # reference's terminal Hungarian round with the EXACT
+                # in-kernel Jonker-Volgenant LAP (the reference's
+                # 200-iteration scipy-Hungarian loop,
+                # multi_graph_matching.py:374-387) — the full finale costs
+                # ~2 ms in VMEM vs ~2.7 ms/iteration when the same solve ran
+                # through XLA while_loops (round-3's external 8-iteration
+                # polish was 22 ms of the TTA step).
+                U_b = ga_gm_fused(
                     A, Wds, U0, ms, self.univ_size,
                     interpret=not is_tpu_backend(),
-                    final_hungarian=True, **solver_kw,
-                )
-                U_b = final_hungarian_round(
-                    A, Wds, U_c, ms, self.univ_size,
-                    quad_weight=self.quad_weight,
-                    mgm_iter=self.lap_polish_iters,
-                    sk_iter=self.sk_iter, tau=1e-2, tol=1e-3,
+                    final_hungarian=False, exact_lap_finale=True,
+                    lap_iter_cap=self.lap_polish_iters, **solver_kw,
                 )
             else:
                 U_b = ga_gm(A, Wds, U0, ms, self.univ_size, **solver_kw)

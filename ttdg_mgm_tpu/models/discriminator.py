@@ -8,6 +8,8 @@ negates (and optionally scales) the cotangent.
 
 from __future__ import annotations
 
+import typing as t
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -33,12 +35,16 @@ class FCDiscriminatorImg(nn.Module):
     """conv3x3(C->C/2) -> LReLU -> conv3x3(C/2->C/4) -> LReLU -> conv3x3(C/4->1)."""
 
     channels: int = 256
+    dtype: t.Any = None  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         c = self.channels
-        x = nn.Conv(c // 2, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        x = nn.Conv(c // 2, (3, 3), padding=((1, 1), (1, 1)), name="conv1",
+                    dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(c // 4, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(x)
+        x = nn.Conv(c // 4, (3, 3), padding=((1, 1), (1, 1)), name="conv2",
+                    dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
-        return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="classifier")(x)
+        return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="classifier",
+                       dtype=self.dtype)(x)

@@ -8,6 +8,8 @@ LastLevelMaxPool): 1x1 lateral convs, nearest-neighbor top-down upsampling,
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -20,12 +22,14 @@ def _upsample_nearest_2x(x):
 
 class FPN(nn.Module):
     out_channels: int = 256
+    dtype: Any = None  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, feats: dict):
         names = ["res2", "res3", "res4", "res5"]
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i + 2}")(feats[n])
+            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i + 2}",
+                    dtype=self.dtype)(feats[n])
             for i, n in enumerate(names)
         ]
         # top-down pathway
@@ -39,7 +43,8 @@ class FPN(nn.Module):
             merged[i] = laterals[i] + up
         outs = {
             f"p{i + 2}": nn.Conv(
-                self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name=f"output{i + 2}"
+                self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                name=f"output{i + 2}", dtype=self.dtype,
             )(merged[i])
             for i in range(4)
         }

@@ -96,6 +96,11 @@ class MaskRCNN(nn.Module):
     sk_tau: float = 0.05
     hippi_iters: int = 50
     gagm_iters: int = 200
+    # iteration cap of the exact-LAP Hungarian finale inside the fused GA-GM
+    # kernel (cfg.MODEL.GRAPH.LAP_POLISH_ITERS); default 200 = the
+    # reference's full-length hungarian-projector round
+    # (multi_graph_matching.py:374-387), now ~free in VMEM
+    lap_polish_iters: int = 200
     # bottleneck stage depths: 50 -> (3,4,6,3); 101 -> (3,4,23,3);
     # 152 -> (3,8,36,3); small non-standard depths (14, 26) for fast tests
     resnet_depth: int = 50
@@ -117,6 +122,13 @@ class MaskRCNN(nn.Module):
     anchor_sizes: Sequence = ((32,), (64,), (128,), (256,), (512,))
 
     def setup(self):
+        # flax computation dtype: threading bf16 through every conv/dense
+        # keeps the BACKWARD activation-cotangent chain in bf16 too (without
+        # it, f32 params promote and autodiff drags f32 cotangents through the
+        # backbone — measured ~25 ms/step extra at 800 px batch 4).  Params
+        # stay f32 (param_dtype default); grads arrive f32 through the cast
+        # transpose — torch-AMP semantics, reference SOLVER.AMP.
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         if self.backbone_name == "vgg16":
             from ttdg_mgm_tpu.models.vgg import VGG16FPNBackbone
 
@@ -124,19 +136,20 @@ class MaskRCNN(nn.Module):
         else:
             stages = {14: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
                       101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.resnet_depth]
-            self.backbone = ResNet50(stage_blocks=stages)
-        self.fpn = FPN(self.fpn_channels)
-        self.rpn_head = RPNHead(channels=self.fpn_channels)
-        self.box_head = BoxHead(fc_dim=self.box_fc_dim, num_fc=self.box_num_fc)
-        self.box_predictor = BoxPredictor(self.num_classes)
+            self.backbone = ResNet50(stage_blocks=stages, dtype=dt)
+        self.fpn = FPN(self.fpn_channels, dtype=dt)
+        self.rpn_head = RPNHead(channels=self.fpn_channels, dtype=dt)
+        self.box_head = BoxHead(fc_dim=self.box_fc_dim, num_fc=self.box_num_fc,
+                                dtype=dt)
+        self.box_predictor = BoxPredictor(self.num_classes, dtype=dt)
         self.mask_head = MaskHead(self.num_classes, channels=self.mask_conv_dim,
-                                  num_conv=self.mask_num_conv)
+                                  num_conv=self.mask_num_conv, dtype=dt)
         # discriminator width follows the dis_type feature (reference
         # ``rcnn.py:113``: ``_out_feature_channels[dis_type]``); FPN levels
         # are all 256-wide, raw backbone stages widen with depth
         dis_ch = {"res2": 256, "res3": 512, "res4": 1024,
                   "res5": 2048}.get(self.dis_type, self.fpn_channels)
-        self.D_img = FCDiscriminatorImg(dis_ch)
+        self.D_img = FCDiscriminatorImg(dis_ch, dtype=dt)
         # graph node dim == FPN channel width (nodes are FPN pixels)
         dim = self.fpn_channels
         self.multi_matching_sup = USup(
@@ -146,6 +159,7 @@ class MaskRCNN(nn.Module):
         self.multi_matching_unsup = MGM3Unsup(
             self.num_classes, self.univ_size, dim=dim, sk_tau=self.sk_tau,
             sk_iter=self.sk_iters, mgm_iter=self.gagm_iters,
+            lap_polish_iters=self.lap_polish_iters,
         )
         self.cross_domain = CrossDomainGraphHead(self.num_classes, dim=dim)
         self.graph_generator = PrototypeComputation(

@@ -18,7 +18,7 @@ All functions are per-batch with static shapes and validity masks.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,12 +36,14 @@ class BoxHead(nn.Module):
 
     fc_dim: int = 1024
     num_fc: int = 2
+    dtype: Any = None  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):  # (K, 7, 7, C)
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fc):
-            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
+            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}",
+                                 dtype=self.dtype)(x))
         return x
 
 
@@ -49,16 +51,17 @@ class BoxPredictor(nn.Module):
     """cls_score (C+1) + class-specific bbox_pred (4C)."""
 
     num_classes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         scores = nn.Dense(
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
-            name="cls_score",
+            name="cls_score", dtype=self.dtype,
         )(x)
         deltas = nn.Dense(
             self.num_classes * 4, kernel_init=nn.initializers.normal(0.001),
-            name="bbox_pred",
+            name="bbox_pred", dtype=self.dtype,
         )(x)
         return scores, deltas
 
@@ -70,18 +73,21 @@ class MaskHead(nn.Module):
     num_classes: int
     channels: int = 256
     num_conv: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # (K, 14, 14, C)
         for i in range(self.num_conv):
             x = nn.relu(
                 nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                        name=f"mask_fcn{i + 1}")(x)
+                        name=f"mask_fcn{i + 1}", dtype=self.dtype)(x)
             )
         x = nn.relu(
-            nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2), name="deconv")(x)
+            nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
+                             name="deconv", dtype=self.dtype)(x)
         )
-        return nn.Conv(self.num_classes, (1, 1), name="predictor")(x)  # (K, 28, 28, C)
+        return nn.Conv(self.num_classes, (1, 1), name="predictor",
+                       dtype=self.dtype)(x)  # (K, 28, 28, C)
 
 
 # ---------------------------------------------------------------------------

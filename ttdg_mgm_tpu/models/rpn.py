@@ -19,7 +19,7 @@ Static-shape design notes:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -45,12 +45,16 @@ class RPNHead(nn.Module):
 
     num_anchors: int = 3
     channels: int = 256
+    dtype: Any = None  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
-        conv = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), name="conv")
-        obj = nn.Conv(self.num_anchors, (1, 1), name="objectness_logits")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="anchor_deltas")
+        conv = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv", dtype=self.dtype)
+        obj = nn.Conv(self.num_anchors, (1, 1), name="objectness_logits",
+                      dtype=self.dtype)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="anchor_deltas",
+                         dtype=self.dtype)
         logits, regs = [], []
         for f in feats:
             t = nn.relu(conv(f))
