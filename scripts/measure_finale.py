@@ -180,6 +180,14 @@ def main():
         sk_iter=20, interpret=interp, final_hungarian=True)
     print(f"fused kernel (+ mutual-argmax finale)    : {t_fused_hung:8.2f} ms")
 
+    # the round-4 production default: the reference's 200-iteration terminal
+    # Hungarian round with the EXACT in-kernel JV-LAP
+    t_fused_lap = timeit(
+        ga_gm_fused, A, W, U0, ms, n_univ, quad_weight=0.5, mgm_iter=200,
+        sk_iter=20, interpret=interp, final_hungarian=False,
+        exact_lap_finale=True, lap_iter_cap=200)
+    print(f"fused kernel (+ in-kernel exact-LAP 200) : {t_fused_lap:8.2f} ms")
+
     G = int(ms.shape[0])
     M = A.shape[0] // G
     U_c = ga_gm_fused(A, W, U0, ms, n_univ, quad_weight=0.5, mgm_iter=200,
@@ -205,22 +213,32 @@ def main():
     # discretization agreement: r2-prod exact finale vs kernel+polish
     U_pol = final_hungarian_round(A, W, U_h, ms, n_univ, quad_weight=0.5,
                                   mgm_iter=8, sk_iter=20)
+    U_klap = ga_gm_fused(A, W, U0, ms, n_univ, quad_weight=0.5, mgm_iter=200,
+                         sk_iter=20, interpret=interp, final_hungarian=False,
+                         exact_lap_finale=True, lap_iter_cap=200)
     a_ex = np.asarray(U_exact).reshape(G, M, n_univ)
     a_po = np.asarray(U_pol).reshape(G, M, n_univ)
+    a_kl = np.asarray(U_klap).reshape(G, M, n_univ)
     valid = np.arange(M)[None, :] < np.asarray(ms)[:, None]
     same = (a_ex.argmax(-1) == a_po.argmax(-1)) | ~valid
+    same_kl = (a_ex.argmax(-1) == a_kl.argmax(-1)) | ~valid
     n_assigned_ex = int((a_ex.max(-1) > 0)[valid].sum())
     n_assigned_po = int((a_po.max(-1) > 0)[valid].sum())
+    n_assigned_kl = int((a_kl.max(-1) > 0)[valid].sum())
     print(f"row-assignment agreement exact-vs-polish : "
           f"{int(same[valid].sum())}/{int(valid.sum())} rows "
           f"(assigned: exact {n_assigned_ex}, polish {n_assigned_po})")
+    print(f"row-assignment agreement exact-vs-kernelLAP: "
+          f"{int(same_kl[valid].sum())}/{int(valid.sum())} rows "
+          f"(assigned: kernelLAP {n_assigned_kl})")
 
     if ds_sym is not None:
         for label, Ux in (("r2 exact-200 finale", U_exact),
                           ("kernel mutual-argmax only", U_h),
-                          ("kernel + polish(8)", U_pol)):
+                          ("kernel + polish(8)", U_pol),
+                          ("in-kernel exact-LAP 200 (r4)", U_klap)):
             lv = tta_loss_from_U(Ux, ds_sym, pair_valid, G, M, n_univ)
-            print(f"TTA loss with {label:26s}: {lv:.6f}")
+            print(f"TTA loss with {label:28s}: {lv:.6f}")
 
 
 if __name__ == "__main__":

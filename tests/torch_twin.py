@@ -192,24 +192,24 @@ def nms(boxes, scores, iou_threshold):
 # ROIAlign (aligned=True, static sampling_ratio)
 # ---------------------------------------------------------------------------
 
-def roi_align(feat, rois, spatial_scale, output_size=7, sampling_ratio=2):
-    """feat (C, H, W); rois (K, 4) xyxy image coords.  d2 ``aligned=True``:
-    half-pixel shift, out-of-range samples ([-1, H] exclusive) contribute
-    zero, in-range coords clamp to the border."""
+def _roi_align_grid(feat, b, P, ny, nx):
+    """One subsample grid over rois ``b`` (K, 4) already scaled/offset;
+    ``ny``/``nx`` subsamples per bin (shared across the K rois).  Returns
+    (K, C, P, P)."""
     C, H, W = feat.shape
-    K = rois.shape[0]
-    P, n = output_size, sampling_ratio
-    b = rois * spatial_scale - 0.5
+    K = b.shape[0]
     bw = (b[:, 2] - b[:, 0]) / P  # (K,) bin sizes
     bh = (b[:, 3] - b[:, 1]) / P
     # sample centers: bin i, subsample j -> start + (i + (j+0.5)/n) * bin
     ii = torch.arange(P, dtype=torch.float32)
-    jj = (torch.arange(n, dtype=torch.float32) + 0.5) / n
-    frac = (ii[:, None] + jj[None, :]).reshape(-1)  # (P*n,)
-    ys = b[:, 1, None] + frac[None, :] * bh[:, None]  # (K, P*n)
-    xs = b[:, 0, None] + frac[None, :] * bw[:, None]
+    fy = (ii[:, None] + (torch.arange(ny, dtype=torch.float32)[None, :] + 0.5)
+          / ny).reshape(-1)  # (P*ny,)
+    fx = (ii[:, None] + (torch.arange(nx, dtype=torch.float32)[None, :] + 0.5)
+          / nx).reshape(-1)
+    ys = b[:, 1, None] + fy[None, :] * bh[:, None]  # (K, P*ny)
+    xs = b[:, 0, None] + fx[None, :] * bw[:, None]  # (K, P*nx)
     valid = ((ys[:, :, None] > -1) & (ys[:, :, None] < H)
-             & (xs[:, None, :] > -1) & (xs[:, None, :] < W))  # (K, Pn, Pn)
+             & (xs[:, None, :] > -1) & (xs[:, None, :] < W))
     y = ys.clamp(0, H - 1)
     x = xs.clamp(0, W - 1)
     y0 = y.floor()
@@ -220,7 +220,7 @@ def roi_align(feat, rois, spatial_scale, output_size=7, sampling_ratio=2):
     lx = x - x0
     flat = feat.reshape(C, H * W)
 
-    def g(yy, xx):  # (K, Pn), (K, Pn) -> (K, Pn, Pn, C)
+    def g(yy, xx):  # (K, Py), (K, Px) -> (K, Py, Px, C)
         idx = (yy[:, :, None] * W + xx[:, None, :]).long().reshape(K, -1)
         return flat[:, idx].permute(1, 2, 0).reshape(K, yy.shape[1], xx.shape[1], C)
 
@@ -231,9 +231,38 @@ def roi_align(feat, rois, spatial_scale, output_size=7, sampling_ratio=2):
     v = (g(y0, x0) * wy0 * wx0 + g(y0, x1) * wy0 * wx1
          + g(y1, x0) * wy1 * wx0 + g(y1, x1) * wy1 * wx1)
     v = torch.where(valid[..., None], v, torch.zeros(()))
-    # average n x n subsamples per bin -> (K, P, P, C) -> (K, C, P, P)
-    v = v.reshape(K, P, n, P, n, C).mean(dim=(2, 4))
+    # average ny x nx subsamples per bin -> (K, P, P, C) -> (K, C, P, P)
+    v = v.reshape(K, P, ny, P, nx, C).mean(dim=(2, 4))
     return v.permute(0, 3, 1, 2).contiguous()
+
+
+def roi_align(feat, rois, spatial_scale, output_size=7, sampling_ratio=2):
+    """feat (C, H, W); rois (K, 4) xyxy image coords.  d2 ``aligned=True``:
+    half-pixel shift, out-of-range samples ([-1, H] exclusive) contribute
+    zero, in-range coords clamp to the border.
+
+    ``sampling_ratio=0`` is d2/torchvision's ADAPTIVE grid — per roi and per
+    axis ``ceil(bin_size)`` subsamples (torchvision roi_align kernel:
+    ``roi_bin_grid_h = ceil(roi_height / pooled_height)``); the reference's
+    poolers run with this default (d2 ``ROIPooler`` via
+    ``adapteacher/modeling/roi_heads/roi_heads.py:39-44`` and
+    ``torchvision.ops.roi_align`` at ``engine/trainer.py:83-98``)."""
+    P = output_size
+    b = rois * spatial_scale - 0.5
+    if sampling_ratio > 0:
+        return _roi_align_grid(feat, b, P, sampling_ratio, sampling_ratio)
+    # adaptive: group rois by their (ny, nx) so each group vectorizes
+    C = feat.shape[0]
+    K = rois.shape[0]
+    bh = ((b[:, 3] - b[:, 1]) / P).clamp(min=0)
+    bw = ((b[:, 2] - b[:, 0]) / P).clamp(min=0)
+    ny = torch.ceil(bh).long().clamp(min=1)
+    nx = torch.ceil(bw).long().clamp(min=1)
+    out = torch.zeros(K, C, P, P)
+    for key in {(int(a), int(c)) for a, c in zip(ny, nx)}:
+        sel = (ny == key[0]) & (nx == key[1])
+        out[sel] = _roi_align_grid(feat, b[sel], P, key[0], key[1])
+    return out
 
 
 def assign_fpn_levels(rois, min_level=2, max_level=5):
@@ -243,7 +272,7 @@ def assign_fpn_levels(rois, min_level=2, max_level=5):
     return lvl.clamp(min_level, max_level).long()
 
 
-def multilevel_roi_align(feats, rois, output_size=7):
+def multilevel_roi_align(feats, rois, output_size=7, sampling_ratio=2):
     """feats: {p2..p5} NCHW (batch 1); rois (K, 4)."""
     levels = assign_fpn_levels(rois)
     K = rois.shape[0]
@@ -253,7 +282,8 @@ def multilevel_roi_align(feats, rois, output_size=7):
         sel = levels == lvl
         if sel.any():
             out[sel] = roi_align(feats[f"p{lvl}"][0], rois[sel], 1.0 / stride,
-                                 output_size=output_size)
+                                 output_size=output_size,
+                                 sampling_ratio=sampling_ratio)
     return out
 
 
@@ -267,7 +297,7 @@ class TorchTwin:
     def __init__(self, sd: dict, *, num_classes=2, pre_nms_topk=1000,
                  post_nms_topk=1000, rpn_nms_thresh=0.7, score_thresh=0.05,
                  nms_thresh=0.5, detections_per_image=100,
-                 stage_blocks=(3, 4, 6, 3)):
+                 stage_blocks=(3, 4, 6, 3), sampling_ratio=2):
         self.sd = _SD(sd)
         self.num_classes = num_classes
         self.pre_nms_topk = pre_nms_topk
@@ -277,6 +307,9 @@ class TorchTwin:
         self.nms_thresh = nms_thresh
         self.detections_per_image = detections_per_image
         self.stage_blocks = stage_blocks
+        # 2 = the repo's documented static deviation (ops/roi_align.py:10-15);
+        # 0 = d2's true adaptive grid (what the reference actually computes)
+        self.sampling_ratio = sampling_ratio
 
     def features(self, image):
         """image: (1, 3, H, W) RGB float 0-255 (padded)."""
@@ -335,7 +368,8 @@ class TorchTwin:
     def box_inference(self, fpn, prop_boxes, image_size):
         """d2 ``fast_rcnn_inference``: softmax, per-class decode + clip,
         score threshold, per-class NMS, top detections by score."""
-        pooled = multilevel_roi_align(fpn, prop_boxes, 7)
+        pooled = multilevel_roi_align(fpn, prop_boxes, 7,
+                                      sampling_ratio=self.sampling_ratio)
         scores, deltas = self.box_head(pooled)
         probs = F.softmax(scores, dim=-1)[:, : self.num_classes]
         K = prop_boxes.shape[0]
@@ -365,7 +399,8 @@ class TorchTwin:
         return b[idx], top_s, c[idx]
 
     def mask_probs(self, fpn, boxes, classes):
-        x = multilevel_roi_align(fpn, boxes, 14)
+        x = multilevel_roi_align(fpn, boxes, 14,
+                                 sampling_ratio=self.sampling_ratio)
         for i in range(1, 5):
             x = F.relu(self.sd.conv(f"roi_heads.mask_head.mask_fcn{i}", x,
                                     padding=1))

@@ -160,83 +160,112 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
             ])  # (G, L, L)
             real_col = lane3 < ms2[:, :, None]
             live_row = sub_r < n_univ
-            dmax = jnp.max(jnp.where(real_col & live_row, jnp.abs(Ct), 0.0),
-                           axis=(1, 2), keepdims=True)
+            # two single-axis reductions: a fused axis=(1,2) keepdims
+            # reduce emits a (G, 1, 1) layout that crashes the TPU compiler
+            # ("layout.h: arr.size() >= layout_rank(implicit_dim)")
+            dmax = jnp.max(jnp.max(
+                jnp.where(real_col & live_row, jnp.abs(Ct), 0.0), axis=2),
+                axis=1, keepdims=True)[:, :, None]
             DC = 2.0 * dmax + 1000.0
             Ct = jnp.where(real_col, Ct, DC)
             Ct = jnp.where(live_row, Ct, _INF_LAP)
 
-            u0 = jnp.zeros((G, L), jnp.float32)   # row potentials (lanes<n_univ)
-            v0 = jnp.zeros((G, L), jnp.float32)   # col potentials
-            p0 = jnp.full((G, L), -1, jnp.int32)  # col -> assigned row
+            # ``anchor``: data-dependent zeros (MLIR cannot fold x*0.0 under
+            # NaN rules).  Plain jnp.zeros/full inits get a lane-REPLICATED
+            # Mosaic layout; the loop bodies produce non-replicated values and
+            # Mosaic refuses the non-replicated -> replicated carry relayout
+            # ("Invalid relayout: Non-singleton logical dimension is
+            # replicated in destination but not in source").  Anchoring every
+            # (G, L) carry init keeps the carry layout non-replicated.
+            anchor = jnp.max(Ct, axis=1) * 0.0    # (G, L) f32 zeros
+            anchor_i = anchor.astype(jnp.int32)
+            u0 = anchor                           # row potentials (lanes<n_univ)
+            v0 = anchor                           # col potentials
+            p0 = anchor_i - 1                     # col -> assigned row
+
+            subL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
 
             def cost_row(i0):
-                """Ct row i0 (G, 1) -> (G, L)."""
-                sel = sub_r == i0[:, :, None]
-                return jnp.sum(jnp.where(sel, Ct, jnp.zeros_like(Ct)), axis=1)
+                """Ct row i0 (G, 1) -> (G, L).  Unrolled per graph: the row
+                index is extracted to a true SCALAR (sreg) first — Mosaic can
+                broadcast scalars anywhere but cannot broadcast a
+                non-replicated (G, 1, 1) vector over sublanes AND lanes."""
+                rows = []
+                for g in range(G):
+                    ig = jnp.sum(i0[g])  # scalar
+                    row = jnp.sum(
+                        jnp.where(subL == ig, Ct[g], 0.0), axis=0,
+                        keepdims=True)  # (1, L)
+                    rows.append(row)
+                return jnp.concatenate(rows, axis=0)  # (G, L)
+
+            anchor1 = anchor_i[:, :1]  # (G, 1) int32 zeros, non-replicated
 
             def assign_row(i, carry):
+                # Every loop-carried value is f32/int32 (never bool — Mosaic
+                # cannot lower selects between bool vectors, i8 -> i1 trunci)
+                # and every init derives from ``anchor`` (see above).
                 u, v, p = carry
-                i0_init = jnp.full((G, 1), i, jnp.int32)
+                i0_init = anchor1 + i
 
                 def s_cond(st):
-                    return jnp.any(~st[7])
+                    return jnp.any(st[7] == 0)
 
                 def s_body(st):
                     u, v, minv, way, used, i0, j_prev, done, j_free, steps = st
+                    is_used = used > 0
                     ui0 = _at_lane(u, i0)
-                    cur = jnp.where(used, _INF_LAP, cost_row(i0) - ui0 - v)
+                    cur = jnp.where(is_used, _INF_LAP, cost_row(i0) - ui0 - v)
                     better = cur < minv
                     minv_n = jnp.where(better, cur, minv)
                     way_n = jnp.where(better, j_prev, way)
-                    reach = jnp.where(used, _INF_LAP, minv_n)
+                    reach = jnp.where(is_used, _INF_LAP, minv_n)
                     mval = jnp.min(reach, axis=1, keepdims=True)
                     j1 = jnp.min(jnp.where(reach == mval, lane, L),
                                  axis=1, keepdims=True)
                     delta = mval
                     # rows of used columns: any_l used & (p == r), r as lanes
-                    pr = (p[:, None, :] == sub_r) & used[:, None, :]
+                    pr = (p[:, None, :] == sub_r) & is_used[:, None, :]
                     used_row = jnp.any(pr, axis=2)  # (G, L) rows-as-lanes
                     # +delta on the ROOT row i (lap.py:_lap_single `.at[i]`),
                     # not the cursor i0 that walks the alternating path
                     u_n = jnp.where(used_row | (lane == i), u + delta, u)
-                    v_n = jnp.where(used, v - delta, v)
-                    minv_n = jnp.where(used, minv_n, minv_n - delta)
-                    used_n = used | (lane == j1)
+                    v_n = jnp.where(is_used, v - delta, v)
+                    minv_n = jnp.where(is_used, minv_n, minv_n - delta)
+                    used_n = jnp.maximum(used, jnp.where(lane == j1, 1, 0))
                     nxt = _at_lane(p, j1)
-                    done_n = (nxt < 0) | (steps + 1 >= L)
-                    i0_n = jnp.where(done_n, i0, nxt)
+                    done_n = jnp.where((nxt < 0) | (steps + 1 >= L), 1, 0)
+                    i0_n = jnp.where(done_n > 0, i0, nxt)
                     # freeze graphs whose search already finished
-                    frz = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+                    frz = lambda new, old: jnp.where(done > 0, old, new)  # noqa: E731
                     return (frz(u_n, u), frz(v_n, v), frz(minv_n, minv),
                             frz(way_n, way), frz(used_n, used),
-                            frz(i0_n, i0), frz(j1, j_prev), done | done_n,
+                            frz(i0_n, i0), frz(j1, j_prev),
+                            jnp.maximum(done, done_n),
                             frz(j1, j_free), steps + 1)
 
-                st = (u, v, jnp.full((G, L), _INF_LAP), jnp.full((G, L), -1, jnp.int32),
-                      jnp.zeros((G, L), bool), i0_init,
-                      jnp.full((G, 1), -1, jnp.int32), jnp.zeros((G, 1), bool),
-                      jnp.full((G, 1), -1, jnp.int32), jnp.zeros((G, 1), jnp.int32))
+                st = (u, v, anchor + _INF_LAP, anchor_i - 1,
+                      anchor_i, i0_init,
+                      anchor1 - 1, anchor1, anchor1 - 1, anchor1)
                 u, v, _, way, _, _, _, _, j_free, _ = jax.lax.while_loop(
                     s_cond, s_body, st)
 
                 def a_cond(st):
-                    return jnp.any(~st[2])
+                    return jnp.any(st[2] == 0)
 
                 def a_body(st):
                     p, j, done, steps = st
                     jp = _at_lane(way, j)
                     p_at = _at_lane(p, jnp.maximum(jp, 0))
                     new_row = jnp.where(jp < 0, jnp.full_like(jp, i), p_at)
-                    p_n = jnp.where((lane == j) & ~done, new_row, p)
-                    done_n = done | (jp < 0) | (steps + 1 >= L)
-                    j_n = jnp.where(done, j, jnp.maximum(jp, 0))
+                    p_n = jnp.where((lane == j) & (done == 0), new_row, p)
+                    done_n = jnp.maximum(
+                        done, jnp.where((jp < 0) | (steps + 1 >= L), 1, 0))
+                    j_n = jnp.where(done > 0, j, jnp.maximum(jp, 0))
                     return p_n, j_n, done_n, steps + 1
 
                 p, _, _, _ = jax.lax.while_loop(
-                    a_cond, a_body,
-                    (p, j_free, jnp.zeros((G, 1), bool),
-                     jnp.zeros((G, 1), jnp.int32)))
+                    a_cond, a_body, (p, j_free, anchor1, anchor1))
                 return u, v, p
 
             _, _, p = jax.lax.fori_loop(0, n_univ, assign_row, (u0, v0, p0))
