@@ -186,6 +186,9 @@ def build_trainer(cfg: CfgNode, *, seed: int = 0):
     return BaselineTrainer(model, tx, params, **common)
 
 
-def _canvas_size(cfg: CfgNode) -> int:
+def _canvas_size(cfg: CfgNode) -> int | str:
+    if cfg.TPU.TRAIN_CANVAS == "auto":
+        # reference-faithful train geometry: rectangular per-batch buckets
+        return "auto"
     d = cfg.TPU.IMAGE_DIVISIBILITY
     return ((cfg.INPUT.MIN_SIZE_TEST + d - 1) // d) * d

@@ -403,6 +403,11 @@ def get_cfg() -> CfgNode:
     # Static shape budget (ragged -> fixed + mask). Image padding buckets are
     # multiples of IMAGE_DIVISIBILITY; one bucket per dataset keeps recompiles rare.
     c.TPU.IMAGE_DIVISIBILITY = 32
+    # Train geometry: "square" fits ResizeShortestEdge output onto ONE static
+    # square canvas (min recompiles); "auto" is the reference-faithful
+    # geometry (dataset_mapper.py:31-35 ResizeShortestEdge + batch-max
+    # padding) on per-batch rectangular CANVAS_BUCKETS pairs.
+    c.TPU.TRAIN_CANVAS = "square"
     c.TPU.MAX_GT_PER_IMAGE = 32
     c.TPU.MAX_DETECTIONS = 100
     c.TPU.DONATE_TTA_STATE = True

@@ -132,8 +132,12 @@ def prepare_sample(record: dict, *, canvas: int | None = 800,
 #: per-dim canvas buckets for the reference-faithful eval geometry: 832
 #: covers the uncapped shortest edge (800), 1344 the max_size cap (1333);
 #: 128-steps between bound the compile count while keeping pad waste small.
-#: The small buckets serve tiny-model tests (min_size 64-ish).
-CANVAS_BUCKETS = (64, 128, 192, 256, 384, 512, 640,
+#: The small buckets serve tiny-model tests (min_size 64-192): they step by
+#: 32 so a batch-1 bucket EQUALS d2's size_divisibility=32 canvas — bucket
+#: slack beyond that pads the conv stack differently than the reference
+#: (bias/BN halo in the padded region shifts edge-box pooled features; the
+#: composed Dice A/B measures ~0.015 score error per edge box otherwise).
+CANVAS_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 640,
                   832, 960, 1088, 1216, 1344)
 
 
@@ -149,14 +153,15 @@ def pack_batch(samples: list[dict], *, canvas: int | tuple[int, int] = 800,
                with_gt: bool = True) -> dict:
     """Stack prepared samples into one fixed-shape batch dict.
 
-    ``canvas`` may be ``(height, width)`` for the rectangular eval buckets;
-    GT mask rasterization assumes the square train canvas."""
+    ``canvas`` may be ``(height, width)`` for the rectangular buckets (eval
+    AND train — reference ``dataset_mapper.py:31-35`` trains at
+    ``ResizeShortestEdge(800,1333)`` + batch-max padding).  GT masks
+    rasterize on a fixed square ``(mask_res, mask_res)`` grid covering the
+    padded canvas with PER-AXIS scales (anisotropic when the canvas is
+    rectangular); consumers scale box coordinates per axis to the mask grid
+    (``models/rcnn.py:loss_supervised``)."""
     if isinstance(canvas, int):
         canvas = (canvas, canvas)
-    assert not with_gt or canvas[0] == canvas[1], (
-        "GT masks are rasterized on a square canvas; rectangular buckets are "
-        "an eval-path (with_gt=False) feature"
-    )
     B = len(samples)
     image = np.zeros((B, canvas[0], canvas[1], 3), np.float32)
     sizes = np.zeros((B, 2), np.float32)
@@ -169,7 +174,8 @@ def pack_batch(samples: list[dict], *, canvas: int | tuple[int, int] = 800,
         out.update(gt_boxes=gt_boxes, gt_classes=gt_classes, gt_valid=gt_valid,
                    gt_masks=gt_masks)
 
-    mscale = mask_res / canvas[0]
+    mscale_y = mask_res / canvas[0]
+    mscale_x = mask_res / canvas[1]
     for b, s in enumerate(samples):
         h, w = s["image"].shape[:2]
         image[b, :h, :w] = s["image"]
@@ -189,14 +195,16 @@ def pack_batch(samples: list[dict], *, canvas: int | tuple[int, int] = 800,
                     full = segmentation_to_mask(segs, s["orig_height"], s["orig_width"])
                     m = np.asarray(
                         Image.fromarray(full * 255).resize(
-                            (int(round(w * mscale)), int(round(h * mscale))),
+                            (int(round(w * mscale_x)), int(round(h * mscale_y))),
                             Image.BILINEAR,
                         )
                     ) > 127
                     gt_masks[b, k, : m.shape[0], : m.shape[1]] = m
                 else:
                     scaled = [
-                        (np.asarray(p, np.float64) * mscale).tolist() for p in segs
+                        (np.asarray(p, np.float64).reshape(-1, 2)
+                         * (mscale_x, mscale_y)).reshape(-1).tolist()
+                        for p in segs
                     ]
                     gt_masks[b, k] = polygons_to_mask(scaled, mask_res, mask_res)
     return out
@@ -222,7 +230,8 @@ def _prepare_with_fallback(records, i, rng, good, **kw):
     raise RuntimeError("no loadable training records (4 substitutions failed)")
 
 
-def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
+def build_train_loader(dataset_names, *, batch_size: int = 8,
+                       canvas: int | str = 800,
                        min_size: int = 800, max_size: int = 1333,
                        gt_cap: int = 20, mask_res: int = 256, seed: int = 0,
                        flip_prob: float = 0.5, prefetch: int = 2,
@@ -232,7 +241,15 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
     ``min_size_choices``: the reference's multi-scale ResizeShortestEdge
     "choice" sampling (``INPUT.MIN_SIZE_TRAIN``) — each sample draws its
     shortest-edge target, and the STATIC canvas absorbs the size variation
-    as padding (scale augmentation without shape polymorphism)."""
+    as padding (scale augmentation without shape polymorphism).
+
+    ``canvas="auto"`` is the reference-faithful TRAIN geometry (reference
+    ``dataset_mapper.py:31-35``: ``ResizeShortestEdge(min_size, max_size)``
+    + batch-max padding): no downscale-to-fit; each batch pads onto a
+    per-batch rectangular ``CANVAS_BUCKETS`` pair (bounded recompile count,
+    like the eval path).  GT masks rasterize anisotropically on the fixed
+    square ``(mask_res, mask_res)`` grid (see ``pack_batch``).  An integer
+    ``canvas`` keeps the legacy static-square fit (one compiled shape)."""
     records = []
     for name in dataset_names:
         records.extend(DatasetCatalog.get(name))
@@ -240,6 +257,7 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
     good: set = set()
     sizes = ([int(s) for s in min_size_choices] if min_size_choices
              else [int(min_size)])
+    auto = canvas == "auto"
 
     def gen():
         while True:
@@ -247,14 +265,21 @@ def build_train_loader(dataset_names, *, batch_size: int = 8, canvas: int = 800,
             for start in range(0, len(idx) - batch_size + 1, batch_size):
                 samples = [
                     _prepare_with_fallback(
-                        records, i, rng, good, canvas=canvas,
+                        records, i, rng, good,
+                        canvas=None if auto else canvas,
                         min_size=sizes[rng.randint(len(sizes))],
                         max_size=max_size,
                         flip=rng.rand() < flip_prob,
                     )
                     for i in idx[start:start + batch_size]
                 ]
-                yield pack_batch(samples, canvas=canvas, gt_cap=gt_cap,
+                if auto:
+                    bh = canvas_bucket(max(s["image"].shape[0] for s in samples))
+                    bw = canvas_bucket(max(s["image"].shape[1] for s in samples))
+                    cv: int | tuple[int, int] = (bh, bw)
+                else:
+                    cv = canvas
+                yield pack_batch(samples, canvas=cv, gt_cap=gt_cap,
                                  mask_res=mask_res)
 
     return _maybe_prefetch(gen(), prefetch)
@@ -326,7 +351,7 @@ def divide_label_unlabel(records, sup_percent: float, seed: int = 0,
 
 
 def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
-                          canvas: int = 800, min_size: int = 800,
+                          canvas: int | str = 800, min_size: int = 800,
                           max_size: int = 1333, gt_cap: int = 20,
                           mask_res: int = 256, seed: int = 0,
                           prefetch: int = 2, sup_percent: float | None = None,

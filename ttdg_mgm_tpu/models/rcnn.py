@@ -402,9 +402,13 @@ class MaskRCNN(nn.Module):
                 self._head_dtype(pooled_m.reshape(B * cap, *pooled_m.shape[2:]))
             ).astype(jnp.float32)
             mlogits = mlogits.reshape(B, cap, *mlogits.shape[1:])
-            # GT masks live on a (mask_res, mask_res) canvas of the padded image
+            # GT masks live on a (mask_res, mask_res) canvas of the padded
+            # image — per-axis scales (the canvas may be rectangular; the
+            # mask grid is then anisotropic, data/loader.py:pack_batch)
             mres = gt_masks.shape[-1]
-            scale = mres / images.shape[1]
+            sy = mres / images.shape[1]
+            sx = mres / images.shape[2]
+            scale = jnp.asarray([sx, sy, sx, sy], jnp.float32)
             m28 = jax.vmap(crop_gt_masks)(gt_masks, fg_matched, fg_boxes * scale)
             per_img = jax.vmap(mask_loss)(mlogits, fg_cls, m28, fg_mask)
             w = jnp.maximum(n_fg.astype(jnp.float32), 1.0)
