@@ -52,6 +52,8 @@ class TestBF16Policy:
             assert np.isfinite(float(v)), k
             assert jnp.asarray(v).dtype == jnp.float32, k
 
+    @pytest.mark.slow  # near-duplicate of test_train_integration's
+    # norm-clip stability run (that one stays in the default suite)
     def test_from_scratch_training_stable_at_reference_lr(self):
         """From-scratch FrozenBN training at the reference BASE_LR 2.5e-3
         (``seg_res50fpn_source.yaml`` SOLVER) diverged in bf16 before

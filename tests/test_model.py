@@ -129,6 +129,34 @@ class TestMaskRCNN:
         # the frozen universe receives no TTA gradient
         assert float(jnp.abs(grads["params"]["U"]).max()) == 0.0
 
+    def test_freeze_at_stops_backward(self, model_and_params):
+        """d2 ``MODEL.BACKBONE.FREEZE_AT`` semantics (reference default 2):
+        frozen stem/res2 receive EXACTLY zero gradient — torch's
+        ``requires_grad=False`` never runs their backward, and the model
+        enforces the same via stop_gradient at the freeze boundary
+        (``models/resnet.py:ResNet50.freeze_at``) so the TTA step skips the
+        highest-resolution backward convs.  Trainable res3+ still get real
+        gradients through the same loss."""
+        model, params = model_and_params  # default freeze_at=2
+        images = jnp.ones((2, 64, 64, 3)) * 120.0
+        sizes = jnp.asarray([[64.0, 64.0]] * 2)
+
+        def f(p):
+            return model.apply(p, images, sizes, method=model.loss_ttt)
+
+        _, grads = jax.value_and_grad(f)(params)
+        g = grads["params"]["backbone"]
+        assert float(jnp.abs(g["stem_conv1"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(g["res2_0"]["conv1"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(g["res3_0"]["conv1"]["kernel"]).max()) > 0.0
+
+        # freeze_at=0 restores full backward (same weights)
+        m0 = tiny_model(freeze_at=0)
+        _, g0 = jax.value_and_grad(
+            lambda p: m0.apply(p, images, sizes, method=m0.loss_ttt))(params)
+        gb0 = g0["params"]["backbone"]
+        assert float(jnp.abs(gb0["res2_0"]["conv1"]["kernel"]).max()) > 0.0
+
     def test_domain_loss_reverses_gradient(self, model_and_params):
         model, params = model_and_params
         images = jnp.ones((1, 64, 64, 3)) * 80.0

@@ -62,6 +62,8 @@ def _fresh_state(params, tx):
     return TrainState.create(jax.tree.map(jnp.copy, params), tx)
 
 
+@pytest.mark.slow  # superseded in the default run by TestShardMapSteps::
+# test_source_step_shard_map_parity (production shard_map path)
 def test_source_step_parity_8dev(setup):
     model, tx, params, batch = setup
     rng = jax.random.PRNGKey(1)
@@ -89,6 +91,8 @@ def test_source_step_parity_8dev(setup):
                                    rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow  # superseded in the default run by TestShardMapSteps::
+# test_tta_step_shard_map_with_production_kernels
 def test_tta_step_parity_8dev(setup):
     model, tx, params, batch = setup
     step = make_tta_step(model, tx)
@@ -103,6 +107,8 @@ def test_tta_step_parity_8dev(setup):
     np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # trainer+mesh wiring is asserted by TestShardMapSteps::
+# test_trainer_mesh_uses_shard_map_step in the default run
 def test_trainer_uses_mesh(setup, tmp_path, monkeypatch):
     """BaselineTrainer with mesh: state replicated, sharded TTA step runs."""
     from ttdg_mgm_tpu.engine.trainer import BaselineTrainer
@@ -125,6 +131,8 @@ def test_trainer_uses_mesh(setup, tmp_path, monkeypatch):
         trainer._put_batch({"image": np.zeros((3, 64, 64, 3), np.float32)})
 
 
+@pytest.mark.slow  # the driver executes dryrun_multichip(8) itself every
+# round (MULTICHIP_r*.json); the default suite keeps the shard_map parity set
 def test_graft_dryrun_multichip():
     """The driver's multi-chip entry runs on the virtual mesh."""
     import __graft_entry__

@@ -66,6 +66,8 @@ def make_trainer(seed=0):
                            max_size=64, gt_cap=4, mask_res=32)
 
 
+@pytest.mark.slow  # multi-compile subprocess-style e2e; the light
+# resume-noop test keeps checkpoint/resume in the default run
 def test_kill_and_resume(dataset, tmp_path):
     ckpt_dir = str(tmp_path / "ckpts")
 

@@ -200,6 +200,8 @@ class TestMeanTeacher:
             rtol=1e-5, atol=1e-7,
         )
 
+    @pytest.mark.slow  # cross-domain loss/grads covered by test_extras::
+    # TestCrossDomainHead; the plain MT step stays via test_mt_step_and_ema
     def test_mt_step_with_cross_domain(self):
         """The cross-domain graph-matching term (reference intent at
         ``trainer.py:929``) is wired into the MT step: losses are finite,

@@ -39,6 +39,7 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         backbone_name=("vgg16" if "vgg" in cfg.MODEL.BACKBONE.NAME else "resnet50"),
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
         mask_on=cfg.MODEL.MASK_ON,
         score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
         nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,

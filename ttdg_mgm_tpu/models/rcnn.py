@@ -104,6 +104,12 @@ class MaskRCNN(nn.Module):
     # bottleneck stage depths: 50 -> (3,4,6,3); 101 -> (3,4,23,3);
     # 152 -> (3,8,36,3); small non-standard depths (14, 26) for fast tests
     resnet_depth: int = 50
+    # d2 MODEL.BACKBONE.FREEZE_AT (reference default 2 = stem+res2): frozen
+    # stages end in stop_gradient so their backward is never computed —
+    # torch requires_grad=False semantics, not just masked updates.  The
+    # optimizer's trainable_mask (solver/build.py) independently zeroes the
+    # same leaves' updates, so either knob alone keeps updates frozen.
+    freeze_at: int = 2
     # detection-only mode (reference MODEL.MASK_ON=False, test_detection.yaml)
     mask_on: bool = True
     # detection thresholds (d2 cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST /
@@ -136,7 +142,8 @@ class MaskRCNN(nn.Module):
         else:
             stages = {14: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
                       101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.resnet_depth]
-            self.backbone = ResNet50(stage_blocks=stages, dtype=dt)
+            self.backbone = ResNet50(stage_blocks=stages,
+                                     freeze_at=self.freeze_at, dtype=dt)
         self.fpn = FPN(self.fpn_channels, dtype=dt)
         self.rpn_head = RPNHead(channels=self.fpn_channels, dtype=dt)
         self.box_head = BoxHead(fc_dim=self.box_fc_dim, num_fc=self.box_num_fc,

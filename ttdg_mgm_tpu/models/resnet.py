@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -104,10 +105,20 @@ class BottleneckBlock(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """R50 trunk; stage block counts (3, 4, 6, 3), caffe-style."""
+    """R50 trunk; stage block counts (3, 4, 6, 3), caffe-style.
+
+    ``freeze_at``: d2 ``MODEL.BACKBONE.FREEZE_AT`` semantics (1 = stem,
+    2 = stem+res2, ...).  Frozen stages end in ``stop_gradient`` — the
+    reference's ``requires_grad=False`` means torch's autograd never
+    RUNS the frozen stages' backward, and the stem/res2 convs are the
+    highest-resolution (most expensive) backward work in the model.
+    Masking updates in the optimizer alone (``solver/build.py:
+    trainable_mask``) keeps parity of the *updates* but wastes that
+    backward compute every TTA/train step; both layers now enforce it."""
 
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    freeze_at: int = 0
     dtype: Any = None
 
     @nn.compact
@@ -118,9 +129,10 @@ class ResNet50(nn.Module):
         x = FrozenBatchNorm(64, name="stem_conv1_norm", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
 
         outputs = {}
-        in_ch = 64
         for stage_idx, num_blocks in enumerate(self.stage_blocks):
             name = f"res{stage_idx + 2}"
             out_ch = 256 * (2 ** stage_idx)
@@ -132,8 +144,8 @@ class ResNet50(nn.Module):
                     has_shortcut=(b == 0),
                     name=f"{name}_{b}", dtype=self.dtype,
                 )(x)
-            in_ch = out_ch
+            if self.freeze_at >= stage_idx + 2:
+                x = jax.lax.stop_gradient(x)
             if name in self.out_features:
                 outputs[name] = x
-        del in_ch
         return outputs

@@ -183,21 +183,25 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
             v0 = anchor                           # col potentials
             p0 = anchor_i - 1                     # col -> assigned row
 
-            subL = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+            # flat (G*L, L) cost matrix + per-graph lane offsets: cost_row
+            # extracts ALL G rows with ONE one-hot (G, G*L) x (G*L, L) MXU
+            # dot — exact at HIGHEST precision (0/1 coefficients; the 3-term
+            # bf16 split of each f32 recombines exactly).  This replaced (a)
+            # an (L, L) masked VPU sum per graph (~64 vregs each) and then
+            # (b) G SEQUENTIAL (1, L) x (L, L) dots — together they dominated
+            # the finale's 200-iteration x 32-row solve.  dynamic_slice would
+            # be cheaper still but has no Mosaic lowering (jax 0.8).
+            CtF = Ct.reshape(G * L, L)
+            laneGL = jax.lax.broadcasted_iota(jnp.int32, (G, G * L), 1)
+            row_off = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) * L
 
             def cost_row(i0):
-                """Ct row i0 (G, 1) -> (G, L).  Unrolled per graph: the row
-                index is extracted to a true SCALAR (sreg) first — Mosaic can
-                broadcast scalars anywhere but cannot broadcast a
-                non-replicated (G, 1, 1) vector over sublanes AND lanes."""
-                rows = []
-                for g in range(G):
-                    ig = jnp.sum(i0[g])  # scalar
-                    row = jnp.sum(
-                        jnp.where(subL == ig, Ct[g], 0.0), axis=0,
-                        keepdims=True)  # (1, L)
-                    rows.append(row)
-                return jnp.concatenate(rows, axis=0)  # (G, L)
+                """Ct rows i0 (G, 1) -> (G, L) via one batched one-hot dot."""
+                onehot = jnp.where(laneGL == i0 + row_off, 1.0, 0.0)
+                return jax.lax.dot_general(
+                    onehot, CtF, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
             anchor1 = anchor_i[:, :1]  # (G, 1) int32 zeros, non-replicated
 
@@ -209,10 +213,11 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
                 i0_init = anchor1 + i
 
                 def s_cond(st):
-                    return jnp.any(st[7] == 0)
+                    return jnp.any(st[8] == 0)  # `done` flag (see s_body)
 
                 def s_body(st):
-                    u, v, minv, way, used, i0, j_prev, done, j_free, steps = st
+                    (u, v, minv, way, used, usedr, i0, j_prev, done, j_free,
+                     steps) = st
                     is_used = used > 0
                     ui0 = _at_lane(u, i0)
                     cur = jnp.where(is_used, _INF_LAP, cost_row(i0) - ui0 - v)
@@ -224,9 +229,11 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
                     j1 = jnp.min(jnp.where(reach == mval, lane, L),
                                  axis=1, keepdims=True)
                     delta = mval
-                    # rows of used columns: any_l used & (p == r), r as lanes
-                    pr = (p[:, None, :] == sub_r) & is_used[:, None, :]
-                    used_row = jnp.any(pr, axis=2)  # (G, L) rows-as-lanes
+                    # rows of used columns, maintained INCREMENTALLY (usedr):
+                    # a column enters `used` once per step, and its assigned
+                    # row is `nxt` below — the old (G, L, L) p-vs-rows mask +
+                    # lane-reduce here was the other half of the finale's cost
+                    used_row = usedr > 0
                     # +delta on the ROOT row i (lap.py:_lap_single `.at[i]`),
                     # not the cursor i0 that walks the alternating path
                     u_n = jnp.where(used_row | (lane == i), u + delta, u)
@@ -234,20 +241,24 @@ def _make_kernel(G, M, L, n_univ, *, quad_weight, mgm_iter, sk_iter, sk_tau0,
                     minv_n = jnp.where(is_used, minv_n, minv_n - delta)
                     used_n = jnp.maximum(used, jnp.where(lane == j1, 1, 0))
                     nxt = _at_lane(p, j1)
+                    # nxt < 0 (free column) ends the search; no lane matches
+                    # a negative index so usedr stays correct in that case
+                    usedr_n = jnp.maximum(usedr, jnp.where(lane == nxt, 1, 0))
                     done_n = jnp.where((nxt < 0) | (steps + 1 >= L), 1, 0)
                     i0_n = jnp.where(done_n > 0, i0, nxt)
                     # freeze graphs whose search already finished
                     frz = lambda new, old: jnp.where(done > 0, old, new)  # noqa: E731
                     return (frz(u_n, u), frz(v_n, v), frz(minv_n, minv),
                             frz(way_n, way), frz(used_n, used),
+                            frz(usedr_n, usedr),
                             frz(i0_n, i0), frz(j1, j_prev),
                             jnp.maximum(done, done_n),
                             frz(j1, j_free), steps + 1)
 
                 st = (u, v, anchor + _INF_LAP, anchor_i - 1,
-                      anchor_i, i0_init,
+                      anchor_i, anchor_i, i0_init,
                       anchor1 - 1, anchor1, anchor1 - 1, anchor1)
-                u, v, _, way, _, _, _, _, j_free, _ = jax.lax.while_loop(
+                u, v, _, way, _, _, _, _, _, j_free, _ = jax.lax.while_loop(
                     s_cond, s_body, st)
 
                 def a_cond(st):
