@@ -62,6 +62,29 @@ def synth_batch(np, size: int, B: int, seed: int = 0, with_gt: bool = True,
     return out
 
 
+def synth_batch_rect(np, canvas_hw, valid_hw, B: int, seed: int = 0):
+    """Non-square batch on a rectangular eval bucket: disc content fills the
+    VALID region (valid_hw) of a larger padded canvas (canvas_hw) — the
+    geometry the reference-faithful eval path feeds the step
+    (``data/loader.py:CANVAS_BUCKETS``; ResizeShortestEdge(800,1333) output
+    padded onto the 832x1344 bucket)."""
+    CH, CW = canvas_hw
+    VH, VW = valid_hw
+    rng = np.random.RandomState(seed)
+    imgs = np.zeros((B, CH, CW, 3), np.float32)
+    imgs[:, :VH, :VW] = rng.randint(20, 45, (B, VH, VW, 3)).astype(np.float32)
+    for b in range(B):
+        for k in range(2):
+            r = rng.randint(min(VH, VW) // 10, min(VH, VW) // 5)
+            cx = rng.randint(r + 2, VW - r - 2)
+            cy = rng.randint(r + 2, VH - r - 2)
+            yy, xx = np.mgrid[:VH, :VW]
+            disc = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            imgs[b, :VH, :VW][disc] = [210 - 40 * k, 170, 150 + 30 * k]
+    sizes = np.tile(np.asarray([[float(VH), float(VW)]], np.float32), (B, 1))
+    return {"image": imgs, "image_sizes": sizes}
+
+
 def warm_params(model, params, np, jnp, jax):
     """~100 source-training steps on synthetic discs (cached on disk keyed by
     the param-tree signature) so the bench measures a detector whose TTA
@@ -171,6 +194,22 @@ def main():
         results[size] = 4.0 / dt
         losses[size] = lv
 
+    # rectangular eval-geometry row (VERDICT r3 #5): the reference-faithful
+    # eval path pads ResizeShortestEdge(800,1333) outputs onto the 832x1344
+    # bucket (data/loader.py:CANVAS_BUCKETS) — ~1.7x the square-800 pixels.
+    # Also record the bucket's one-time compile cost (what a real eval pays
+    # when it first meets this canvas).
+    raw = synth_batch_rect(np, (832, 1344), (800, 1333), 4, seed=99)
+    batch_r = {"image": jnp.asarray(raw["image"]),
+               "image_sizes": jnp.asarray(raw["image_sizes"])}
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    t0 = time.perf_counter()
+    state, loss = step(state, dict(batch_r))
+    rect_loss = float(loss)
+    rect_compile_s = time.perf_counter() - t0
+    dt_r, rect_loss, _ = measure_step(step, state, batch_r)
+    rect_ips = 4.0 / dt_r
+
     # Sinkhorn kernel ms/iter (BASELINE.md first-class metric): the TTA
     # pairwise projection shape — batch of (4x4) pair problems, 100x100
     # node matrices, 20 iterations
@@ -203,6 +242,9 @@ def main():
         "vs_baseline": round(vs, 3),
         "config": "800px canvas, TEST.BATCH=4, warmed weights, single step",
         "img_per_sec_512": round(results[512], 3),
+        "img_per_sec_rect_832x1344": round(rect_ips, 3),
+        "rect_bucket_compile_s": round(rect_compile_s, 1),
+        "tta_loss_rect": rect_loss,
         "sinkhorn_ms_per_iter": round(sk_ms_per_iter, 4),
         "matching_active": bool(losses[800] != 0.0),
         "tta_loss_800": losses[800],

@@ -122,6 +122,65 @@ def main():
     mask = jax.jit(nodes_fn)(params, images, sizes)
     print(f"nodes sampled         : {int(jnp.sum(mask))}")
 
+    # --- incremental pipeline stages (VERDICT r3 #1: per-stage anatomy of the
+    # 800px matching-active step).  Each jitted fn runs the pipeline UP TO a
+    # stage and reduces that stage's outputs to a scalar so XLA cannot DCE it;
+    # consecutive differences are the per-stage costs.  XLA may fuse stage
+    # boundaries differently in each program, so the splits are ~ +-10%.
+    def upto_proposals(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            return jnp.sum(pb) + jnp.sum(ps)
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    def upto_pool(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            pooled = m._pool(feats, pb, 7)
+            return jnp.sum(pooled.astype(jnp.float32))
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    def upto_boxinf(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            boxes, scores, classes, valid = m._box_inference(feats, pb, pv, s)
+            return jnp.sum(boxes) + jnp.sum(scores)
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    def upto_nodes(p, im, sz):
+        def inner(m, x, s):
+            feats = m.extract_features(x)
+            _, (pb, ps, pv) = m._proposals(feats, s, train=False)
+            boxes, scores, classes, valid = m._box_inference(feats, pb, pv, s)
+            nodes, labels, nm = m.graph_generator(
+                m._feature_list(feats), jax.lax.stop_gradient(boxes), classes,
+                valid)
+            return jnp.sum(nodes.astype(jnp.float32))
+
+        return model.apply({"params": p}, im, sz, method=inner)
+
+    t_feat = timeit(feats_fn, params, images)
+    t_prop = timeit(jax.jit(upto_proposals), params, images, sizes)
+    t_pool = timeit(jax.jit(upto_pool), params, images, sizes)
+    t_binf = timeit(jax.jit(upto_boxinf), params, images, sizes)
+    t_node = timeit(jax.jit(upto_nodes), params, images, sizes)
+    t_ttt = timeit(ttt, params, images, sizes)
+    t_grad = timeit(ttt_grad, params, images, sizes)
+    print("--- incremental stage splits (fwd path) ---")
+    print(f"backbone+fpn          : {t_feat:8.2f} ms")
+    print(f"+ rpn head/decode/nms : {t_prop:8.2f} ms  (delta {t_prop - t_feat:+7.2f})")
+    print(f"+ box pooler (7x7)    : {t_pool:8.2f} ms  (delta {t_pool - t_prop:+7.2f})")
+    print(f"+ box head+nms        : {t_binf:8.2f} ms  (delta {t_binf - t_pool:+7.2f})")
+    print(f"+ node sampling       : {t_node:8.2f} ms  (delta {t_node - t_binf:+7.2f})")
+    print(f"+ MGM solve (=ttt fwd): {t_ttt:8.2f} ms  (delta {t_ttt - t_node:+7.2f})")
+    print(f"ttt fwd+bwd           : {t_grad:8.2f} ms  (backward {t_grad - t_ttt:+7.2f})")
+
     # detector-only TTT path: everything loss_ttt does EXCEPT the MGM3 solve
     # (isolates the matching module's cost inside the step)
     def det_only(p, im, sz):
@@ -139,11 +198,8 @@ def main():
     det_grad = jax.jit(lambda p, im, sz: jax.value_and_grad(
         lambda q: det_only(q, im, sz))(p))
 
-    print(f"backbone+fpn fwd      : {timeit(feats_fn, params, images):8.2f} ms")
     print(f"inference fwd         : {timeit(fwd, params, images, sizes):8.2f} ms")
     print(f"det-only fwd+bwd      : {timeit(det_grad, params, images, sizes):8.2f} ms")
-    print(f"ttt loss fwd          : {timeit(ttt, params, images, sizes):8.2f} ms")
-    print(f"ttt loss fwd+bwd      : {timeit(ttt_grad, params, images, sizes):8.2f} ms")
 
     tx = build_optimizer(params, lambda _: 0.005)
     state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
