@@ -235,6 +235,11 @@ def main():
             base = json.load(f)
     base_800 = base.get("tta_images_per_sec_per_chip_800px", 0.0)
     vs = results[800] / base_800 if base_800 else 0.0
+    # North-star denominator (BASELINE.md "A100 extrapolation"): the
+    # documented 5-7 img/s estimate of the reference TTA step on one A100.
+    # The ratio is stated at the reference-faithful RECT eval geometry (what
+    # polyp-shaped data actually runs) AND at the square-800 headline.
+    A100_LOW, A100_HIGH = 5.0, 7.0
     print(json.dumps({
         "metric": "tta_images_per_sec_per_chip",
         "value": round(results[800], 3),
@@ -243,6 +248,11 @@ def main():
         "config": "800px canvas, TEST.BATCH=4, warmed weights, single step",
         "img_per_sec_512": round(results[512], 3),
         "img_per_sec_rect_832x1344": round(rect_ips, 3),
+        "vs_a100_estimate": round(rect_ips / A100_HIGH, 2),
+        "vs_a100_estimate_range": [round(rect_ips / A100_HIGH, 2),
+                                   round(rect_ips / A100_LOW, 2)],
+        "vs_a100_estimate_800": round(results[800] / A100_HIGH, 2),
+        "a100_estimate_img_per_sec": [A100_LOW, A100_HIGH],
         "rect_bucket_compile_s": round(rect_compile_s, 1),
         "tta_loss_rect": rect_loss,
         "sinkhorn_ms_per_iter": round(sk_ms_per_iter, 4),

@@ -122,8 +122,6 @@ def load_reference_dice_evaluator(records):
              "pycocotools.mask": pyc_mask}
     saved = {k: sys.modules.get(k) for k in shims}
     sys.modules.update(shims)
-    if not hasattr(np, "bool"):  # np.bool removed in numpy>=1.24
-        np.bool = bool
     try:
         spec = importlib.util.spec_from_file_location(
             "ref_dice_metric",
@@ -136,6 +134,17 @@ def load_reference_dice_evaluator(records):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+    # the reference uses the numpy-1.x ``np.bool`` alias at RUNTIME
+    # (dice_metric.py:106); give the loaded module a delegating proxy
+    # instead of mutating the global numpy module for the whole session
+    if not hasattr(np, "bool"):
+        class _NpProxy:
+            bool = bool
+
+            def __getattr__(self, k):
+                return getattr(np, k)
+
+        mod.np = _NpProxy()
     return mod.DiceEvaluator
 
 

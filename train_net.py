@@ -76,6 +76,13 @@ def main():
             tta_batch=cfg.TEST.BATCH,
             min_batch_num=cfg.TEST.MIN_BATCH_NUM,
             dice_threshold=cfg.TEST.DICE_THRES,
+            # TEST.EVALUATOR (a reference key that is dead in the snapshot):
+            # "coco"/"dice"/"pascal_voc" forces that evaluator; the reference
+            # default "COCOeval" keeps per-dataset metadata dispatch
+            evaluator_type=(cfg.TEST.EVALUATOR
+                            if cfg.TEST.EVALUATOR in
+                            ("coco", "dice", "pascal_voc", "pascal_voc_water")
+                            else None),
             # visualization PNGs land on the shared OUTPUT_DIR — rank 0 only,
             # or multi-host runs write torn/clobbered files (same gating as
             # result_ap.txt below; reference comm.is_main_process)

@@ -60,8 +60,13 @@ def register_all_medical(root: str | None = None, force: bool = False):
     for name, (json_rel, img_rel) in SPLITS.items():
         if force:
             DatasetCatalog.remove(name)
+        # the medical TTA splits evaluate with Dice/E/S (the reference's
+        # flagship path hardwires DiceEvaluator, trainer.py:484-485) — mark
+        # them explicitly so the evaluator dispatch stays stable even if the
+        # unset-metadata fallback ever changes
         register_coco_instances(
-            name, os.path.join(root, json_rel), os.path.join(root, img_rel)
+            name, os.path.join(root, json_rel), os.path.join(root, img_rel),
+            evaluator_type="dice",
         )
     _registered = True
 

@@ -48,9 +48,15 @@ def load_coco_json(json_file: str, image_root: str):
     return records
 
 
-def register_coco_instances(name: str, json_file: str, image_root: str):
+def register_coco_instances(name: str, json_file: str, image_root: str,
+                            evaluator_type: str | None = None):
+    """``evaluator_type``: "coco" marks the dataset for COCO-AP evaluation
+    (d2 metadata convention); unset keeps the flagship default — the
+    medical TTA splits evaluate with Dice/E/S (``evaluation/build.py``)."""
     from ttdg_mgm_tpu.data.catalog import DatasetCatalog, MetadataCatalog
 
     DatasetCatalog.register(name, lambda: load_coco_json(json_file, image_root))
     meta = MetadataCatalog.get(name)
     meta.update({"json_file": json_file, "image_root": image_root})
+    if evaluator_type is not None:
+        meta["evaluator_type"] = evaluator_type

@@ -362,7 +362,12 @@ def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
 
     ``sup_percent``: when set (and no explicit unlabel datasets are given),
     the labeled datasets are split DATALOADER.SUP_PERCENT / RANDOM_DATA_SEED
-    style into labeled + unlabeled subsets (reference ``build.py:165-183``)."""
+    style into labeled + unlabeled subsets (reference ``build.py:165-183``).
+
+    ``canvas="auto"`` mirrors ``build_train_loader``'s reference-faithful
+    geometry: no downscale-to-fit, ONE shared rectangular ``CANVAS_BUCKETS``
+    pair per batch covering all four views (label/unlabel x weak/strong), so
+    the jitted MT step sees a single canvas shape per batch."""
     label_records = []
     for n in label_names:
         label_records.extend(DatasetCatalog.get(n))
@@ -374,11 +379,12 @@ def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
             label_records, sup_percent, split_seed)
     rng = np.random.RandomState(seed)
     strong_aug = build_strong_augmentation(seed)
+    auto = canvas == "auto"
 
     def two_views(record):
         flip = rng.rand() < 0.5
-        weak = prepare_sample(record, canvas=canvas, min_size=min_size,
-                              max_size=max_size, flip=flip)
+        weak = prepare_sample(record, canvas=None if auto else canvas,
+                              min_size=min_size, max_size=max_size, flip=flip)
         strong = dict(weak)
         strong["image"] = strong_aug(weak["image"])
         return weak, strong
@@ -389,12 +395,19 @@ def build_two_crop_loader(label_names, unlabel_names, *, batch_size: int = 4,
             ui = rng.permutation(len(unlabel_records))[:batch_size]
             lw, ls = zip(*(two_views(label_records[i]) for i in li))
             uw, us = zip(*(two_views(unlabel_records[i]) for i in ui))
-            lw_b = pack_batch(list(lw), canvas=canvas, gt_cap=gt_cap,
+            if auto:
+                allv = list(lw) + list(uw)
+                bh = canvas_bucket(max(s["image"].shape[0] for s in allv))
+                bw = canvas_bucket(max(s["image"].shape[1] for s in allv))
+                cv: int | tuple[int, int] = (bh, bw)
+            else:
+                cv = canvas
+            lw_b = pack_batch(list(lw), canvas=cv, gt_cap=gt_cap,
                               mask_res=mask_res)
-            ls_b = pack_batch(list(ls), canvas=canvas, gt_cap=gt_cap,
+            ls_b = pack_batch(list(ls), canvas=cv, gt_cap=gt_cap,
                               mask_res=mask_res)
-            uw_b = pack_batch(list(uw), canvas=canvas, with_gt=False)
-            us_b = pack_batch(list(us), canvas=canvas, with_gt=False)
+            uw_b = pack_batch(list(uw), canvas=cv, with_gt=False)
+            us_b = pack_batch(list(us), canvas=cv, with_gt=False)
             yield {
                 "label_strong": ls_b["image"], "label_weak": lw_b["image"],
                 "label_sizes": ls_b["image_sizes"],

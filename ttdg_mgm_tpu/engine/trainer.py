@@ -29,7 +29,6 @@ import numpy as np
 from ttdg_mgm_tpu.data.catalog import DatasetCatalog
 from ttdg_mgm_tpu.data.loader import build_test_loader, build_train_loader
 from ttdg_mgm_tpu.engine.steps import TrainState, make_source_step, make_tta_step
-from ttdg_mgm_tpu.evaluation.dice import DiceEvaluator
 from ttdg_mgm_tpu.utils.native import paste_masks_native
 from ttdg_mgm_tpu.utils.rle import segmentation_to_mask
 
@@ -60,17 +59,32 @@ def evaluate_dataset(model, params, dataset_name: str, *,
                      canvas: int | str = "auto",
                      min_size: int = 800, max_size: int = 1333,
                      batch_size: int = 1, dice_threshold: float = 0.9,
-                     log_every: int = 50, draw_dir: str | None = None) -> dict:
-    """Inference + Dice/E/S over one dataset (reference
+                     log_every: int = 50, draw_dir: str | None = None,
+                     evaluator_type: str | None = None) -> dict:
+    """Inference + evaluation over one dataset (reference
     ``inference_on_dataset``, ``trainer.py:1230-1360``, incl. the s/iter
     breakdown log format parsed by grep).
+
+    The evaluator dispatches on the dataset's registered ``evaluator_type``
+    (reference ``build_evaluator``, ``trainer.py:316-328``): Dice/E/S for
+    the medical TTA splits (the default when unset — the flagship path,
+    ``trainer.py:484-485``), COCO AP for coco-type (incl. ``iscrowd``
+    IGNORE semantics), VOC mAP for pascal-type.  ``evaluator_type``
+    overrides the metadata.  Results come back as ONE flat scalar dict
+    (``bbox_AP`` style for AP evaluators).
 
     ``draw_dir``: when set (the reference's ``TEST.DRAW``), box overlays are
     written under ``<draw_dir>/visual`` and mask overlays under
     ``<draw_dir>/masks`` (reference ``trainer.py:1288-1308,1376-1406``)."""
+    from ttdg_mgm_tpu.evaluation.build import build_evaluator, flatten_results
+
     loader = build_test_loader(dataset_name, batch_size=batch_size,
                                canvas=canvas, min_size=min_size, max_size=max_size)
-    evaluator = DiceEvaluator(dataset_name, dice_threshold)
+    evaluator, etype = build_evaluator(
+        dataset_name, dice_threshold=dice_threshold,
+        evaluator_type=evaluator_type,
+        mask_on=getattr(model, "mask_on", True),
+    )
     # Parse the dataset ONCE and index records by image_id — the catalog
     # loader re-reads the COCO JSON on every .get(), which made the old
     # per-image lookup O(N^2) in host work.
@@ -105,14 +119,40 @@ def evaluate_dataset(model, params, dataset_name: str, *,
 
                 dump_visualization(draw_dir, meta["image_id"],
                                    load_image(record["file_name"]), out)
-            gt_masks = [
-                segmentation_to_mask(a["segmentation"], record["height"],
-                                     record["width"])
-                for a in record["annotations"]
-            ]
-            gt_classes = [a["category_id"] for a in record["annotations"]]
-            evaluator.process(out["masks"], out["classes"], out["scores"],
-                              gt_masks, gt_classes)
+            anns = record["annotations"]
+            gt_classes = [a["category_id"] for a in anns]
+            if etype == "dice":
+                gt_masks = [
+                    segmentation_to_mask(a["segmentation"], record["height"],
+                                         record["width"])
+                    for a in anns
+                ]
+                evaluator.process(out["masks"], out["classes"], out["scores"],
+                                  gt_masks, gt_classes)
+            elif etype == "coco":
+                with_segm = "segm" in evaluator.iou_types
+                gt_masks = [
+                    segmentation_to_mask(a["segmentation"], record["height"],
+                                         record["width"])
+                    for a in anns
+                ] if with_segm else None
+                evaluator.process(
+                    det_boxes=out["boxes"], det_scores=out["scores"],
+                    det_classes=out["classes"],
+                    det_masks=list(out["masks"]) if with_segm else None,
+                    gt_boxes=np.asarray([a["bbox"] for a in anns],
+                                        np.float64).reshape(-1, 4),
+                    gt_classes=gt_classes, gt_masks=gt_masks,
+                    gt_crowd=[a.get("iscrowd", 0) for a in anns],
+                )
+            else:  # pascal_voc
+                evaluator.process(
+                    out["boxes"], out["scores"], out["classes"],
+                    np.asarray([a["bbox"] for a in anns],
+                               np.float64).reshape(-1, 4),
+                    gt_classes,
+                    gt_difficult=[a.get("difficult", 0) for a in anns],
+                )
             n_img += 1
         t_eval += time.perf_counter() - t2
         if n_img % log_every < batch_size:
@@ -127,7 +167,7 @@ def evaluate_dataset(model, params, dataset_name: str, *,
         "Total inference time: %.4fs (%.6f s / iter per device)",
         t_data + t_compute + t_eval, t_compute / max(n_img, 1),
     )
-    return evaluator.evaluate()
+    return flatten_results(evaluator.evaluate())
 
 
 def aggregate_family_means(results: dict) -> dict:
@@ -294,9 +334,16 @@ class BaselineTrainer:
     def test(self, dataset_names, *, ttt: bool = True, tta_batch: int = 4,
              min_batch_num: int | None = None, dice_threshold: float = 0.9,
              reset_between_datasets: bool = False,
-             draw_dir: str | None = None) -> dict:
+             draw_dir: str | None = None,
+             evaluator_type: str | None = None) -> dict:
         """Eval-only TTA over the test datasets (reference ``test``,
-        ``trainer.py:431-529``)."""
+        ``trainer.py:431-529``).
+
+        ``evaluator_type``: force one evaluator for every dataset
+        (``TEST.EVALUATOR`` CLI override); ``None`` dispatches per dataset on
+        its registered ``evaluator_type`` metadata — Dice for the medical
+        splits, COCO AP for coco-type, VOC mAP for pascal-type (reference
+        ``build_evaluator``, ``trainer.py:316-328``)."""
         results = {}
         # TTA steps donate the state buffers; keep an un-donatable snapshot
         # only when each dataset must restart from the source weights.
@@ -327,6 +374,7 @@ class BaselineTrainer:
                 min_size=self.min_size, max_size=self.max_size,
                 batch_size=tta_batch if ttt else 1,
                 dice_threshold=dice_threshold, draw_dir=draw_dir,
+                evaluator_type=evaluator_type,
             )
             logger.info("Results %s: %s", name, results[name])
         self.state = state
