@@ -93,7 +93,7 @@ def warm_params(model, params, np, jnp, jax):
 
     sig = hashlib.sha1(
         str(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)).encode()
-        + f"v6:{WARM_STEPS}x{WARM_SIZE}".encode()  # v6: 2.5e-3 + NORM clip + damped residual init
+        + f"v7:{WARM_STEPS}x{WARM_SIZE}".encode()  # v7: adaptive (ratio-0) poolers
     ).hexdigest()[:16]
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"warm_{sig}.msgpack")

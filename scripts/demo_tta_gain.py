@@ -34,7 +34,8 @@ import numpy as np
 from PIL import Image, ImageFilter
 
 
-def make_shifted_target(root, n_images: int, size: int = 64, seed: int = 17):
+def make_shifted_target(root, n_images: int, size: int = 64, seed: int = 17,
+                        blur: float = 1.2, brightness: float = 0.75):
     """Domain-shifted disc images + COCO JSON: darker/greener discs,
     elliptical (polyp-like aspect), Gaussian blur, brightness drop, and a
     textured background."""
@@ -73,8 +74,8 @@ def make_shifted_target(root, n_images: int, size: int = 64, seed: int = 17):
             })
             aid += 1
         # brightness drop + blur (acquisition shift)
-        arr = np.clip(arr * 0.75, 0, 255).astype(np.uint8)
-        im = Image.fromarray(arr).filter(ImageFilter.GaussianBlur(1.2))
+        arr = np.clip(arr * brightness, 0, 255).astype(np.uint8)
+        im = Image.fromarray(arr).filter(ImageFilter.GaussianBlur(blur))
         im.save(os.path.join(img_dir, f"t{i}.png"))
         images.append({"id": i, "file_name": f"t{i}.png",
                        "height": size, "width": size})
@@ -117,7 +118,9 @@ def source_train(model, params, *, steps: int, size: int, jnp, jax,
 
 def run_demo(*, steps: int, n_images: int, size: int, tta_lr: float,
              dice_threshold: float, seed: int, tta_passes: int = 1,
-             root: str | None = None, cache: str | None = None):
+             root: str | None = None, cache: str | None = None,
+             blur: float = 1.2, brightness: float = 0.75,
+             diag: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -136,6 +139,8 @@ def run_demo(*, steps: int, n_images: int, size: int, tta_lr: float,
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                         jnp.asarray([[64.0, 64.0]]))["params"]
 
+    if cache:
+        cache = f"{cache}.s{steps}x{size}"
     if cache and os.path.exists(cache):
         import flax.serialization as fser
 
@@ -152,10 +157,34 @@ def run_demo(*, steps: int, n_images: int, size: int, tta_lr: float,
                 f.write(fser.to_bytes(params))
 
     root = root or tempfile.mkdtemp(prefix="tta_demo_")
-    jp, img_dir = make_shifted_target(root, n_images, size=size, seed=seed)
+    jp, img_dir = make_shifted_target(root, n_images, size=size, seed=seed,
+                                      blur=blur, brightness=brightness)
     name = "_tta_demo_target"
     DatasetCatalog.remove(name)
     register_coco_instances(name, jp, img_dir)
+
+    if diag:
+        # detection-score diagnostics on source-style vs shifted images
+        import bench
+
+        src = bench.synth_batch(np, size, 4, seed=999, with_gt=False)
+        det = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                          jnp.asarray(src["image"]),
+                          jnp.asarray(src["image_sizes"]),
+                          method=model.forward_inference)
+        s = np.asarray(det["scores"])[np.asarray(det["valid"])]
+        print(f"# source-style scores: n={s.size} max={s.max() if s.size else 0:.3f} "
+              f"mean={(s.mean() if s.size else 0):.3f}")
+        from ttdg_mgm_tpu.data.loader import load_image
+        recs = DatasetCatalog.get(name)[:4]
+        timgs = np.stack([load_image(r["file_name"]) for r in recs]).astype(np.float32)
+        det = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                          jnp.asarray(timgs),
+                          jnp.full((len(recs), 2), float(size), jnp.float32),
+                          method=model.forward_inference)
+        s = np.asarray(det["scores"])[np.asarray(det["valid"])]
+        print(f"# shifted-target scores: n={s.size} max={s.max() if s.size else 0:.3f} "
+              f"mean={(s.mean() if s.size else 0):.3f}")
 
     def fresh_trainer():
         tx = build_optimizer(params, lambda _: tta_lr)
@@ -198,8 +227,12 @@ if __name__ == "__main__":
     ap.add_argument("--dice-threshold", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--blur", type=float, default=1.2)
+    ap.add_argument("--brightness", type=float, default=0.75)
+    ap.add_argument("--diag", action="store_true")
     ap.add_argument("--cache", default="/tmp/tta_demo_source.msgpack")
     args = ap.parse_args()
     run_demo(steps=args.steps, n_images=args.images, size=args.size,
              tta_lr=args.tta_lr, dice_threshold=args.dice_threshold,
-             seed=args.seed, tta_passes=args.passes, cache=args.cache)
+             seed=args.seed, tta_passes=args.passes, cache=args.cache,
+             blur=args.blur, brightness=args.brightness, diag=args.diag)

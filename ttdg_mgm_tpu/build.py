@@ -50,6 +50,7 @@ def build_model(cfg: CfgNode) -> MaskRCNN:
         box_num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
         mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
         mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
         anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
         sk_iters=cfg.MODEL.GRAPH.SK_ITERS,
         sk_tau=cfg.MODEL.GRAPH.SK_TAU,

@@ -118,6 +118,11 @@ class MaskRCNN(nn.Module):
     nms_thresh_test: float = 0.5
     roi_positive_fraction: float = 0.25
     rpn_nms_thresh: float = 0.7
+    # ROIAlign sampling grid (d2 cfg.MODEL.ROI_*_HEAD.POOLER_SAMPLING_RATIO;
+    # the reference's poolers run the d2 default 0 = ADAPTIVE ceil(bin_size)
+    # per ROI/axis — reproduced exactly on a static sample budget, see
+    # ops/roi_align.py.  2 = the static grid (round<=4 legacy convention).
+    pooler_sampling_ratio: int = 0
     # architecture widths (d2 cfg.MODEL.FPN.OUT_CHANNELS, ROI_BOX_HEAD.FC_DIM
     # / NUM_FC, ROI_MASK_HEAD.CONV_DIM / NUM_CONV, ANCHOR_GENERATOR.SIZES)
     fpn_channels: int = 256
@@ -230,6 +235,7 @@ class MaskRCNN(nn.Module):
         (corner-packed rows) for differentiated training pools only — see
         ``multilevel_roi_align``."""
         pool_feats = [feats[f"p{i}"] for i in range(2, 6)]
+        ratio = self.pooler_sampling_ratio
         if not pack and use_windowed_pool():
             # forward-only pools on TPU: windowed-DMA Pallas kernel (the
             # gather formulation is row-transaction-bound; see
@@ -242,17 +248,19 @@ class MaskRCNN(nn.Module):
 
             return multilevel_roi_align_windowed(
                 pool_feats, boxes, output_size=output_size,
-                interpret=not is_tpu_backend(),
+                sampling_ratio=ratio, interpret=not is_tpu_backend(),
             )
         if pack and use_windowed_train_pool():
             # opt-in differentiable windowed pooler for training pools
             # (Pallas scatter-accumulate backward); off until measured
             return multilevel_roi_align_windowed_train(
-                pool_feats, boxes, output_size=output_size
+                pool_feats, boxes, output_size=output_size,
+                sampling_ratio=ratio,
             )
         return jax.vmap(
             lambda fs, b: multilevel_roi_align(
-                fs, b, output_size=output_size, pack_corners=pack
+                fs, b, output_size=output_size, sampling_ratio=ratio,
+                pack_corners=pack,
             )
         )(pool_feats, boxes)
 

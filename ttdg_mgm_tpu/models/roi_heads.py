@@ -242,10 +242,11 @@ def roi_box_inference(scores, deltas, prop_boxes, prop_valid, image_size, *,
 
 def crop_gt_masks(gt_masks, matched_gt, boxes, out_size: int = 28):
     """Crop+resize per-proposal GT bitmasks to (S, 28, 28) >=0.5 binary
-    (d2 ``BitMasks.crop_and_resize`` semantics via ROIAlign on the mask)."""
+    (d2 ``BitMasks.crop_and_resize``: ``ROIAlign((s, s), 1.0, 0,
+    aligned=True)`` — sampling_ratio 0 = the adaptive grid)."""
     from ttdg_mgm_tpu.ops.roi_align import mask_roi_align
 
     masks = gt_masks[matched_gt].astype(jnp.float32)  # (S, Hm, Wm)
-    out = mask_roi_align(masks, boxes, output_size=out_size, sampling_ratio=2,
+    out = mask_roi_align(masks, boxes, output_size=out_size, sampling_ratio=0,
                          aligned=True)
     return out >= 0.5

@@ -79,13 +79,15 @@ def use_windowed_pool() -> bool:
     return is_tpu_backend()
 
 
-def _axis_weights(coords, limit, w0, n, win):
+def _axis_weights(coords, weights, limit, w0, n, win):
     """Fold one axis of the sample grid into interpolation weights.
 
-    coords ``(R, P*n)`` absolute level-pixel sample positions; limit
+    coords ``(R, P*n)`` absolute level-pixel sample positions, weights
+    ``(R, P*n)`` per-sample bin-average weights (``_axis_samples``; 1/n for
+    the static grid, adaptive-masked for ``sampling_ratio=0``); limit
     ``(R,)`` true level extent along the axis; w0 ``(R,)`` int window
     origin.  Returns ``(w (R, P, win) f32, max_corner (R,) f32)`` where
-    ``w[r, p]`` holds the n-averaged bilinear weights of output bin ``p``
+    ``w[r, p]`` holds the weighted bilinear weights of output bin ``p``
     over window positions and ``max_corner`` is the largest in-window
     corner index actually referenced (fit check: ``<= win - 1``).
     """
@@ -103,9 +105,9 @@ def _axis_weights(coords, limit, w0, n, win):
     m = (iota == c0[..., None]) * (1.0 - frac)[..., None] + (
         iota == c1[..., None]
     ) * frac[..., None]
-    m = jnp.where(valid[..., None], m, 0.0)
+    m = jnp.where(valid[..., None], m * weights[..., None], 0.0)
     r, pn, _ = m.shape
-    return jnp.mean(m.reshape(r, pn // n, n, win), axis=2), max_corner
+    return jnp.sum(m.reshape(r, pn // n, n, win), axis=2), max_corner
 
 
 def _pool_kernel(bidx_ref, wy0_ref, wx0_ref, ry_ref, cx_ref, atlas_ref,
@@ -228,21 +230,23 @@ def _window_geometry(feats, rois, *, strides, output_size, sampling_ratio,
     b = flat_rois * scale[:, None] - 0.5  # aligned=True half-pixel shift
     bin_w = (b[:, 2] - b[:, 0]) / P
     bin_h = (b[:, 3] - b[:, 1]) / P
-    steps = (jnp.arange(P * n, dtype=jnp.float32) // n) + (
-        (jnp.arange(P * n, dtype=jnp.float32) % n) + 0.5
-    ) / n
-    ys = b[:, 1, None] + bin_h[:, None] * steps[None, :]  # (BK, P*n)
-    xs = b[:, 0, None] + bin_w[:, None] * steps[None, :]
+    from ttdg_mgm_tpu.ops.roi_align import _axis_samples
 
-    wy0 = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, Hs - 1.0)), 0.0,
+    ys, wgt_y, m = _axis_samples(b[:, 1], bin_h, P, n)  # (BK, P*m)
+    xs, wgt_x, _ = _axis_samples(b[:, 0], bin_w, P, n)
+
+    # window origin from the ROI start (b), not the first sample: adaptive
+    # first samples sit deeper inside bin 0 than static ones, but corners
+    # floor back toward b
+    wy0 = jnp.clip(jnp.floor(jnp.clip(b[:, 1], 0.0, Hs - 1.0)), 0.0,
                    Hp - WINY).astype(jnp.int32)
     # x origin aligned down to a multiple of 8 (Mosaic sublane-tile
     # divisibility for the dynamic DMA start); WINX absorbs the slack
-    wx0 = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, Ws - 1.0)), 0.0,
+    wx0 = jnp.clip(jnp.floor(jnp.clip(b[:, 0], 0.0, Ws - 1.0)), 0.0,
                    Wmax - WINX).astype(jnp.int32)
     wx0 = (wx0 // 8) * 8
-    ry, max_cy = _axis_weights(ys, Hs, wy0, n, WINY)  # (BK, P, WINY)
-    cx, max_cx = _axis_weights(xs, Ws, wx0, n, WINX)  # (BK, P, WINX)
+    ry, max_cy = _axis_weights(ys, wgt_y, Hs, wy0, m, WINY)  # (BK, P, WINY)
+    cx, max_cx = _axis_weights(xs, wgt_x, Ws, wx0, m, WINX)  # (BK, P, WINX)
     # NOTE: the fused (P*P, WINY*WINX) interpolation matrix is deliberately
     # NOT materialized: at 4000 ROIs it is ~250M elements of HBM write+read
     # traffic per pool.  The bilinear weights are separable, so the kernels

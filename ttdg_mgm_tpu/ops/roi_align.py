@@ -7,11 +7,21 @@ and mask pooling (SURVEY.md section 2.3; reference call sites
 Semantics follow d2 ``ROIAlign(aligned=True)``: coordinates shift by half a
 pixel (``x * scale - 0.5``), each output bin averages an ``n x n`` grid of
 bilinear samples, samples outside ``[-1, H]`` contribute zero and in-range
-coordinates clamp to the border.  ``sampling_ratio`` is a static compile-time
-constant (default 2); d2's adaptive ``ratio=0`` (``ceil(bin_size)``) is data
-dependent and would force dynamic shapes — at FPN scale assignment the bin
-size is ~1-2 px so ``n=2`` brackets the adaptive choice (deviation documented
-for the Dice-parity budget).
+coordinates clamp to the border.
+
+``sampling_ratio=0`` is d2/torchvision's ADAPTIVE grid — the reference's
+poolers run with this default (``roi_bin_grid = ceil(bin_size)`` per ROI and
+axis; d2 ``ROIPooler`` at reference ``roi_heads/roi_heads.py:39-44``,
+``torchvision.ops.roi_align`` at ``engine/trainer.py:83-98``).  Data-dependent
+sample COUNTS would force dynamic shapes, so the adaptive grid is computed on
+a static ``ADAPTIVE_CAP``-sample budget per axis: sample positions are the
+exact adaptive positions (they are ordinary traced floats), samples beyond
+the ROI's ``ceil(bin)`` get weight 0, and the bin average becomes a weighted
+sum.  This reproduces d2's ``ratio=0`` EXACTLY for every ROI whose per-axis
+``ceil(bin) <= ADAPTIVE_CAP`` — which d2's area-based FPN level assignment
+guarantees for all unclamped, aspect<=~2 ROIs (geometric-mean bin < 4 at the
+assigned level) — and falls back to a uniform cap-point grid beyond it.
+``sampling_ratio>0`` keeps the fixed static grid.
 
 The multi-level pooler computes the d2 FPN level assignment
 ``lvl = floor(4 + log2(sqrt(area)/224))`` clamped to [min, max] and samples
@@ -29,6 +39,35 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+#: static per-axis sample budget for the adaptive (``sampling_ratio=0``) grid
+ADAPTIVE_CAP = 4
+
+
+def _axis_samples(b0, bin_sz, P: int, n: int, cap: int = ADAPTIVE_CAP):
+    """Sample positions + per-sample weights along one axis.
+
+    b0 ``(K,)`` roi start (shifted, level coords); bin_sz ``(K,)`` bin size.
+    Returns ``(pos (K, P*m), w (K, P*m), m)`` where ``m = n`` (fixed grid,
+    weight 1/n) or ``m = cap`` for ``n == 0`` (d2 adaptive: ``ceil(bin)``
+    samples at the exact adaptive positions, surplus slots weight 0).  The
+    weighted sum over each bin's ``m`` slots equals d2's bin average.
+    """
+    m = n if n > 0 else cap
+    i = jnp.arange(P * m, dtype=jnp.float32) % m
+    p = jnp.arange(P * m, dtype=jnp.float32) // m
+    if n > 0:
+        frac = (i + 0.5) / m
+        w = jnp.full((b0.shape[0], P * m), 1.0 / m, jnp.float32)
+    else:
+        # twin/torchvision convention: ceil of the (non-negative) bin size,
+        # at least 1 sample (degenerate rois sample their corner with the
+        # full weight, matching torchvision's count=max(grid,1) average)
+        nd = jnp.clip(jnp.ceil(jnp.maximum(bin_sz, 0.0)), 1.0, m)[:, None]
+        frac = (jnp.minimum(i[None, :], nd - 1.0) + 0.5) / nd
+        w = jnp.where(i[None, :] < nd, 1.0 / nd, 0.0)
+    pos = b0[:, None] + bin_sz[:, None] * (p[None, :] + frac)
+    return pos, w, m
 
 
 def _bilinear_sample(feat, y, x):
@@ -75,33 +114,28 @@ def roi_align(feat, rois, spatial_scale, *, output_size: int = 7,
     if not aligned:
         w = jnp.maximum(w, 1.0)
         h = jnp.maximum(h, 1.0)
-    bin_w = w / P
-    bin_h = h / P
-    # sample grid: (P*n,) fractional offsets within the roi, units of bins
-    steps = (jnp.arange(P * n, dtype=jnp.float32) // n) + (
-        (jnp.arange(P * n, dtype=jnp.float32) % n) + 0.5
-    ) / n
-    ys = b[:, 1, None] + bin_h[:, None] * steps[None, :]  # (K, P*n)
-    xs = b[:, 0, None] + bin_w[:, None] * steps[None, :]
+    ys, wy, m = _axis_samples(b[:, 1], h / P, P, n)  # (K, P*m)
+    xs, wx, _ = _axis_samples(b[:, 0], w / P, P, n)
 
-    def one_roi(yy, xx):
-        grid_y = jnp.tile(yy[:, None], (1, P * n))
-        grid_x = jnp.tile(xx[None, :], (P * n, 1))
-        s = _bilinear_sample(feat, grid_y, grid_x)  # (P*n, P*n, C)
-        s = s.reshape(P, n, P, n, -1)
-        return jnp.mean(s, axis=(1, 3))
+    def one_roi(yy, xx, wyy, wxx):
+        grid_y = jnp.tile(yy[:, None], (1, P * m))
+        grid_x = jnp.tile(xx[None, :], (P * m, 1))
+        s = _bilinear_sample(feat, grid_y, grid_x)  # (P*m, P*m, C)
+        s = s * (wyy[:, None, None] * wxx[None, :, None])
+        return jnp.sum(s.reshape(P, m, P, m, -1), axis=(1, 3))
 
-    return jax.vmap(one_roi)(ys, xs)
+    return jax.vmap(one_roi)(ys, xs, wy, wx)
 
 
-def _interp_matrix(coords, size: int, n: int):
+def _interp_matrix(coords, weights, size: int, n: int):
     """Per-ROI separable bilinear interpolation matrix.
 
     coords ``(S, P*n)`` sample positions along one axis of a ``size``-wide
-    canvas; returns ``(S, P, size)`` where row ``p`` holds the averaged
-    bilinear weights of that output bin's ``n`` samples (2 nonzeros per
-    sample).  Out-of-range samples ([-1, size] exclusion, as in
-    ``_bilinear_sample``) get all-zero weights; in-range clamp to border.
+    canvas, weights ``(S, P*n)`` per-sample bin-average weights (from
+    ``_axis_samples``); returns ``(S, P, size)`` where row ``p`` holds the
+    weighted bilinear weights of that output bin's ``n`` sample slots
+    (2 nonzeros per sample).  Out-of-range samples ([-1, size] exclusion, as
+    in ``_bilinear_sample``) get all-zero weights; in-range clamp to border.
     """
     valid = (coords > -1.0) & (coords < size)
     c = jnp.clip(coords, 0.0, size - 1)
@@ -112,9 +146,9 @@ def _interp_matrix(coords, size: int, n: int):
     m = (iota == c0[..., None]) * (1.0 - frac)[..., None] + (
         iota == c1[..., None]
     ) * frac[..., None]  # (S, P*n, size)
-    m = jnp.where(valid[..., None], m, 0.0)
+    m = jnp.where(valid[..., None], m * weights[..., None], 0.0)
     s, pn, _ = m.shape
-    return jnp.mean(m.reshape(s, pn // n, n, size), axis=2)
+    return jnp.sum(m.reshape(s, pn // n, n, size), axis=2)
 
 
 @functools.partial(
@@ -141,13 +175,10 @@ def mask_roi_align(masks, rois, *, output_size: int = 28,
     b = rois - off
     bin_w = (b[:, 2] - b[:, 0]) / P
     bin_h = (b[:, 3] - b[:, 1]) / P
-    steps = (jnp.arange(P * n, dtype=jnp.float32) // n) + (
-        (jnp.arange(P * n, dtype=jnp.float32) % n) + 0.5
-    ) / n
-    ys = b[:, 1, None] + bin_h[:, None] * steps[None, :]  # (S, P*n)
-    xs = b[:, 0, None] + bin_w[:, None] * steps[None, :]
-    ry = _interp_matrix(ys, H, n)  # (S, P, H)
-    cx = _interp_matrix(xs, W, n)  # (S, P, W)
+    ys, wy, m = _axis_samples(b[:, 1], bin_h, P, n)  # (S, P*m)
+    xs, wx, _ = _axis_samples(b[:, 0], bin_w, P, n)
+    ry = _interp_matrix(ys, wy, H, m)  # (S, P, H)
+    cx = _interp_matrix(xs, wx, W, m)  # (S, P, W)
     # HIGHEST precision: the weights/masks are exact f32 and the reference
     # computes in f32; default (bf16-multiply) precision can wobble values
     # near the 0.5 binarization threshold.
@@ -225,13 +256,14 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
     b = rois * scale[:, None] - 0.5  # aligned=True half-pixel shift
     bin_w = (b[:, 2] - b[:, 0]) / P
     bin_h = (b[:, 3] - b[:, 1]) / P
-    steps = (jnp.arange(P * n, dtype=jnp.float32) // n) + (
-        (jnp.arange(P * n, dtype=jnp.float32) % n) + 0.5
-    ) / n
-    ys = b[:, 1, None] + bin_h[:, None] * steps[None, :]  # (K, P*n)
-    xs = b[:, 0, None] + bin_w[:, None] * steps[None, :]
-    yy = jnp.broadcast_to(ys[:, :, None], (K, P * n, P * n))
-    xx = jnp.broadcast_to(xs[:, None, :], (K, P * n, P * n))
+    ys, wgt_y, m = _axis_samples(b[:, 1], bin_h, P, n)  # (K, P*m)
+    xs, wgt_x, _ = _axis_samples(b[:, 0], bin_w, P, n)
+    yy = jnp.broadcast_to(ys[:, :, None], (K, P * m, P * m))
+    xx = jnp.broadcast_to(xs[:, None, :], (K, P * m, P * m))
+    # per-sample bin-average weight (1/n^2 static; adaptive-masked for n=0);
+    # 1/n is a power of two for the standard ratios, so the bf16 product
+    # below is exact there
+    swgt = (wgt_y[:, :, None] * wgt_x[:, None, :]).reshape(-1, 1)
 
     Hf = H.astype(jnp.float32)[:, None, None]
     Wf = W.astype(jnp.float32)[:, None, None]
@@ -265,8 +297,9 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
             + g[:, 3 * C:] * (w_y[1] * w_x[1])
         )
         v = jnp.where(valid.reshape(-1, 1), v, jnp.zeros((), flat.dtype))
-        out = jnp.mean(
-            v.reshape(K, P, n, P, n, C), axis=(2, 4), dtype=jnp.float32
+        v = v * swgt.astype(flat.dtype)
+        out = jnp.sum(
+            v.reshape(K, P, m, P, m, C), axis=(2, 4), dtype=jnp.float32
         )
         return out.astype(flat.dtype)
     else:
@@ -286,7 +319,8 @@ def multilevel_roi_align(feats, rois, *, strides=(4, 8, 16, 32),
             + g(y1, x1) * (w_y[1] * w_x[1])
         )
         v = jnp.where(valid.reshape(-1, 1), v, jnp.zeros((), flat.dtype))
-    out = jnp.mean(
-        v.reshape(K, P, n, P, n, C), axis=(2, 4), dtype=jnp.float32
+    v = v * swgt.astype(flat.dtype)
+    out = jnp.sum(
+        v.reshape(K, P, m, P, m, C), axis=(2, 4), dtype=jnp.float32
     )
     return out.astype(flat.dtype)
