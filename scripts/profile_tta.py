@@ -61,7 +61,9 @@ def main():
     from ttdg_mgm_tpu.solver.build import build_optimizer
     from ttdg_mgm_tpu.utils.platform import is_tpu_backend
 
-    H = W = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # size: an int (square canvas) or "rect" = the reference-faithful
+    # 832x1344 eval bucket with valid 800x1333 (bench.synth_batch_rect)
+    arg = sys.argv[1] if len(sys.argv) > 1 else "512"
     B = 4
     bench = _load_bench()
     model = MaskRCNN(num_classes=2, compute_dtype="bfloat16")
@@ -91,7 +93,10 @@ def main():
     # measured piece timings were transfer-dominated garbage until this line
     params = jax.device_put(params)
 
-    raw = bench.synth_batch(np, H, B, seed=99, with_gt=False)
+    if arg == "rect":
+        raw = bench.synth_batch_rect(np, (832, 1344), (800, 1333), B, seed=99)
+    else:
+        raw = bench.synth_batch(np, int(arg), B, seed=99, with_gt=False)
     images = jnp.asarray(raw["image"])
     sizes = jnp.asarray(raw["image_sizes"])
 

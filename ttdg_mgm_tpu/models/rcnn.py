@@ -104,6 +104,9 @@ class MaskRCNN(nn.Module):
     # bottleneck stage depths: 50 -> (3,4,6,3); 101 -> (3,4,23,3);
     # 152 -> (3,8,36,3); small non-standard depths (14, 26) for fast tests
     resnet_depth: int = 50
+    # res2 width (doubles per stage); 256 = the R50 standard, smaller for
+    # test fixtures (tests/test_tta_improves_dice.py golden weights)
+    resnet_width: int = 256
     # d2 MODEL.BACKBONE.FREEZE_AT (reference default 2 = stem+res2): frozen
     # stages end in stop_gradient so their backward is never computed —
     # torch requires_grad=False semantics, not just masked updates.  The
@@ -148,6 +151,7 @@ class MaskRCNN(nn.Module):
             stages = {14: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
                       101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.resnet_depth]
             self.backbone = ResNet50(stage_blocks=stages,
+                                     stage_width=self.resnet_width,
                                      freeze_at=self.freeze_at, dtype=dt)
         self.fpn = FPN(self.fpn_channels, dtype=dt)
         self.rpn_head = RPNHead(channels=self.fpn_channels, dtype=dt)

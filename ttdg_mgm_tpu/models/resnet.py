@@ -118,6 +118,9 @@ class ResNet50(nn.Module):
 
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    # res2 output width; stages double from here (256 = the R50 standard;
+    # smaller widths give the same topology for small-scale tests/fixtures)
+    stage_width: int = 256
     freeze_at: int = 0
     dtype: Any = None
 
@@ -135,8 +138,8 @@ class ResNet50(nn.Module):
         outputs = {}
         for stage_idx, num_blocks in enumerate(self.stage_blocks):
             name = f"res{stage_idx + 2}"
-            out_ch = 256 * (2 ** stage_idx)
-            mid_ch = 64 * (2 ** stage_idx)
+            out_ch = self.stage_width * (2 ** stage_idx)
+            mid_ch = (self.stage_width // 4) * (2 ** stage_idx)
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and stage_idx > 0) else 1
                 x = BottleneckBlock(

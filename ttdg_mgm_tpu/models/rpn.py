@@ -49,11 +49,21 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
+        # d2 StandardRPNHead init: every RPN conv is normal(std=0.01) —
+        # flax's lecun default (std ~0.06 at 256 ch) is 6x larger, and on
+        # random frozen-BN features the initial delta predictions then
+        # decode boxes far off their anchors; from-scratch RPN regression
+        # took >1000 SGD steps to recover (round-5 TTA-gain diagnosis).
+        # The delta head uses 0.001 (the d2 box-head bbox_pred std) so
+        # from-scratch proposals start essentially AT their anchors.
         conv = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=nn.initializers.normal(0.01),
                        name="conv", dtype=self.dtype)
         obj = nn.Conv(self.num_anchors, (1, 1), name="objectness_logits",
+                      kernel_init=nn.initializers.normal(0.01),
                       dtype=self.dtype)
         deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="anchor_deltas",
+                         kernel_init=nn.initializers.normal(0.001),
                          dtype=self.dtype)
         logits, regs = [], []
         for f in feats:
