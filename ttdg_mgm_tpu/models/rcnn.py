@@ -255,11 +255,15 @@ class MaskRCNN(nn.Module):
                 sampling_ratio=ratio, interpret=not is_tpu_backend(),
             )
         if pack and use_windowed_train_pool():
-            # opt-in differentiable windowed pooler for training pools
-            # (Pallas scatter-accumulate backward); off until measured
+            # differentiable windowed pooler for training pools (Pallas
+            # scatter-accumulate backward): 249.9 vs 682.5 ms per 800px
+            # batch-8 source step against the adaptive-grid gather (r5);
+            # interpret mode when the gate is forced on off-TPU
+            from ttdg_mgm_tpu.utils.platform import is_tpu_backend
+
             return multilevel_roi_align_windowed_train(
                 pool_feats, boxes, output_size=output_size,
-                sampling_ratio=ratio,
+                sampling_ratio=ratio, interpret=not is_tpu_backend(),
             )
         return jax.vmap(
             lambda fs, b: multilevel_roi_align(

@@ -331,13 +331,17 @@ def _windowed_impl(
 
 # --------------------------------------------------------------- train pool
 def use_windowed_train_pool() -> bool:
-    """Gate for the DIFFERENTIABLE windowed training pooler.  Off by default
-    until its step-time win is measured on the real chip (the training
-    backward competes with the corner-packed gather whose scatter cost is
-    already amortized); enable with TTDG_WINDOWED_TRAIN_POOL=1."""
+    """Gate for the DIFFERENTIABLE windowed training pooler.  ON by default
+    on real accelerators since round 5: measured 249.9 ms vs 682.5 ms per
+    800px batch-8 source step against the adaptive-grid gather pooler (and
+    vs 310 ms for the legacy static-2 gather) — the windowed kernels'
+    cost is sampling-grid-independent, so the adaptive (ratio-0) training
+    pools come for free.  Off on CPU (tests use the XLA gather pooler;
+    forward+grad parity is pinned in tests/test_pallas.py).  Override:
+    TTDG_WINDOWED_TRAIN_POOL=0/1."""
     env = os.environ.get("TTDG_WINDOWED_TRAIN_POOL")
-    if env is None or env in ("0", "false", "False"):
-        return False
+    if env is not None:
+        return env not in ("0", "false", "False")
     from ttdg_mgm_tpu.utils.platform import is_tpu_backend
 
     return is_tpu_backend()
@@ -371,7 +375,11 @@ def _scatter_kernel(bidx_ref, wy0_ref, wx0_ref, ry_ref, cx_ref, g_ref,
     # the P q-planes instead: upd = sum_q cx[q]^T outer u[:, q, :])
     upd = jnp.zeros((WINY, WINX, C), jnp.float32)
     for q in range(P):
-        upd = upd + cx_ref[0, q][None, :, None] * u[:, q, :][:, None, :]
+        # f32 before the [None, :, None] reshape: Mosaic only supports
+        # non-no-op minor-dim insertion for 32-bit types (bf16 weights here
+        # crashed the TPU compile)
+        cx_q = cx_ref[0, q].astype(jnp.float32)
+        upd = upd + cx_q[None, :, None] * u[:, q, :][:, None, :]
     win_scratch[...] = win_scratch[...] + upd.astype(win_scratch.dtype)
     write = pltpu.make_async_copy(win_scratch, window, sems.at[0])
     write.start()
